@@ -1,0 +1,143 @@
+"""Separable 3D Gaussian blur as MXU matmuls.
+
+The reference implements the blur as three 1D FIR passes with zero-padded
+borders (src_common/GaussBlur3D.cpp:329-479 `blur_3d_simpleborders`, CUDA
+twin in cuda_common/SIFT_cuda_Tools.cu:176-441), with the truncated filter
+size chosen by a tail-mass rule (src_common/GaussianMask.cpp:12-57) and the
+filter L1-normalized after generation (GaussBlur3D.cpp:1190-1201).
+
+TPU-native design: a 1D FIR along an axis of length L is a banded L x L
+matrix multiply. The MXU turns each pass into a single dense matmul
+(einsum over the blur axis), which both saturates the systolic array and
+keeps the whole pyramid resident in HBM — there is no analogue of the
+reference's per-op H2D/D2H copies. Zero-padding falls out for free: the
+banded matrix simply has no taps outside the volume.
+
+For typical MRI dims (L <= 512) the dense banded matmul is faster on TPU
+than gather-based stencils despite the wasted multiplies, because the MXU's
+FLOP rate dwarfs the VPU's and the op stays bandwidth-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_filter_size(sigma: float, min_value: float) -> int:
+    """Truncated filter length (odd) for a given sigma.
+
+    Exact reimplementation of calculate_gaussian_filter_size
+    (src_common/GaussianMask.cpp:12-57): grow the radius until the truncated
+    tail holds at most ``min_value`` of the (discretely estimated) total
+    mass. Returns 2*radius + 1.
+    """
+    if sigma == 0:
+        return 1
+    # Estimate total mass sum_{i=-inf..inf} exp(-i^2 / 2 sigma^2)
+    cur_volume = 1.0
+    new_volume = 1.0
+    i = 0
+    while True:
+        i += 1
+        cur_volume = new_volume
+        new_volume = cur_volume + 2.0 * math.exp((i * i) / (-2.0 * sigma * sigma))
+        if not (new_volume - cur_volume > 1e-5):
+            break
+    value = 1.0
+    i = 1
+    while value <= cur_volume * (1.0 - min_value):
+        value += 2.0 * math.exp((i * i) / (-2.0 * sigma * sigma))
+        i += 1
+    i -= 1
+    return 2 * i + 1
+
+
+def gaussian_kernel_1d(sigma: float, min_value: float) -> np.ndarray:
+    """L1-normalized 1D Gaussian FIR taps (float32).
+
+    Matches generate_gaussian_filter1d (GaussianMask.cpp:300-326) followed
+    by the explicit normalization in gb3d_blur3d_interleave
+    (GaussBlur3D.cpp:1190-1201). sigma == 0 gives the delta filter.
+    """
+    size = gaussian_filter_size(sigma, min_value)
+    if sigma <= 0.0:
+        return np.ones((1,), dtype=np.float32)
+    center = size // 2
+    j = np.arange(size, dtype=np.float32) - np.float32(center)
+    scale = np.float32(1.0 / (sigma * math.sqrt(2.0 * math.pi)))
+    taps = scale * np.exp((j * j) / np.float32(sigma * sigma) / np.float32(-2.0))
+    taps = taps.astype(np.float32)
+    taps /= taps.sum(dtype=np.float32)
+    return taps.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_matrix(dim: int, sigma: float, min_value: float) -> np.ndarray:
+    """Dense banded blur matrix B with zero-padding semantics.
+
+    out[o] = sum_i x[i] * B[i, o],  B[i, o] = taps[i - o + r] for |i-o| <= r.
+    Rows/columns outside the volume are simply absent, which is exactly the
+    reference's zero-border behaviour.
+    """
+    taps = gaussian_kernel_1d(sigma, min_value)
+    r = len(taps) // 2
+    b = np.zeros((dim, dim), dtype=np.float32)
+    for o in range(dim):
+        lo = max(0, o - r)
+        hi = min(dim, o + r + 1)
+        b[lo:hi, o] = taps[lo - o + r : hi - o + r]
+    return b
+
+
+# Blur matmuls run at full f32 multiply precision: on TPU the default f32
+# einsum uses bf16 MXU passes (~1e-2 error), which perturbs DoG extrema and
+# breaks parity with the f32 reference. HIGHEST costs extra MXU passes but
+# the op stays HBM-bandwidth-bound, so the wall-clock impact is small.
+_BLUR_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def blur_axis(vol: jnp.ndarray, axis: int, sigma: float, min_value: float) -> jnp.ndarray:
+    """Blur one axis of a [Z, Y, X] volume via a banded matmul."""
+    dim = vol.shape[axis]
+    b = jnp.asarray(_banded_matrix(dim, float(sigma), float(min_value)))
+    specs = {0: "zyx,zw->wyx", 1: "zyx,yw->zwx", 2: "zyx,xw->zyw"}
+    return jnp.einsum(
+        specs[axis], vol, b, preferred_element_type=jnp.float32, precision=_BLUR_PRECISION
+    )
+
+
+def blur3d(vol: jnp.ndarray, sigma: float, min_value: float = 0.01) -> jnp.ndarray:
+    """Separable 3D Gaussian blur with zero-padded borders.
+
+    Equivalent of gb3d_blur3d (GaussBlur3D.cpp:1262-1285) on the CPU/GPU
+    paths: x pass, then y, then z (pass order does not change the result
+    for separable filters; the reference also runs x->y->z).
+    """
+    if sigma <= 0.0:
+        return vol
+    out = blur_axis(vol, 2, sigma, min_value)
+    out = blur_axis(out, 1, sigma, min_value)
+    out = blur_axis(out, 0, sigma, min_value)
+    return out
+
+
+def blur3d_batched(vols: jnp.ndarray, sigma: float, min_value: float = 0.01) -> jnp.ndarray:
+    """Blur a batch of volumes [B, Z, Y, X] (used by patch-histogram blurs).
+
+    The einsum contracts the blur axis only, so batching is free.
+    """
+    if sigma <= 0.0:
+        return vols
+    bz = jnp.asarray(_banded_matrix(vols.shape[1], float(sigma), float(min_value)))
+    by = jnp.asarray(_banded_matrix(vols.shape[2], float(sigma), float(min_value)))
+    bx = jnp.asarray(_banded_matrix(vols.shape[3], float(sigma), float(min_value)))
+    kw = dict(preferred_element_type=jnp.float32, precision=_BLUR_PRECISION)
+    out = jnp.einsum("bzyx,xw->bzyw", vols, bx, **kw)
+    out = jnp.einsum("bzyx,yw->bzwx", out, by, **kw)
+    out = jnp.einsum("bzyx,zw->bwyx", out, bz, **kw)
+    return out

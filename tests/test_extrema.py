@@ -1,0 +1,69 @@
+import itertools
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from sift3d.kernels import extrema
+
+
+def _np_strict_extrema(dogs):
+    """Dense python oracle: strict 80-neighbor extrema, interior only."""
+    num_levels, z, y, x = dogs.shape
+    out = np.zeros((num_levels - 2, z, y, x), dtype=np.int8)
+    for c in range(1, num_levels - 1):
+        for zz in range(1, z - 1):
+            for yy in range(1, y - 1):
+                for xx in range(1, x - 1):
+                    v = dogs[c, zz, yy, xx]
+                    gt = lt = True
+                    for dl, dz, dy, dx in itertools.product((-1, 0, 1), repeat=4):
+                        if dl == 0 and dz == 0 and dy == 0 and dx == 0:
+                            continue
+                        n = dogs[c + dl, zz + dz, yy + dy, xx + dx]
+                        gt &= v > n
+                        lt &= v < n
+                    out[c - 1, zz, yy, xx] = 1 if gt else (-1 if lt else 0)
+    return out
+
+
+def test_extrema_mask_matches_dense_oracle(rng):
+    dogs = rng.standard_normal((5, 7, 8, 9)).astype(np.float32)
+    got = np.asarray(extrema.extrema_mask(jnp.asarray(dogs)))
+    want = _np_strict_extrema(dogs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_extrema_single_peak():
+    dogs = np.zeros((3, 5, 5, 5), dtype=np.float32)
+    dogs[1, 2, 2, 2] = 1.0
+    got = np.asarray(extrema.extrema_mask(jnp.asarray(dogs)))
+    assert got[0, 2, 2, 2] == 1
+    assert (got == 1).sum() == 1
+    dogs[1, 2, 2, 2] = -1.0
+    got = np.asarray(extrema.extrema_mask(jnp.asarray(dogs)))
+    assert got[0, 2, 2, 2] == -1
+
+
+def test_extrema_plateau_rejected():
+    """Ties must not count as extrema (strict comparisons)."""
+    dogs = np.zeros((3, 5, 5, 5), dtype=np.float32)
+    dogs[1, 2, 2, 2] = 1.0
+    dogs[1, 2, 2, 3] = 1.0
+    got = np.asarray(extrema.extrema_mask(jnp.asarray(dogs)))
+    assert (got != 0).sum() == 0
+
+
+def test_quadratic_interp():
+    # symmetric parabola peak at 2.0
+    x = extrema.quadratic_interp_1d(jnp.float32(1.0), jnp.float32(2.0), jnp.float32(1.0), 1.0, 2.0, 3.0)
+    np.testing.assert_allclose(float(x), 2.0, rtol=1e-6)
+    # f(x) = -(x-2.25)^2 sampled at 1, 2, 3
+    def f(v):
+        return -((v - 2.25) ** 2)
+
+    x = extrema.quadratic_interp_1d(jnp.float32(f(1)), jnp.float32(f(2)), jnp.float32(f(3)), 1.0, 2.0, 3.0)
+    np.testing.assert_allclose(float(x), 2.25, rtol=1e-5)
+    # degenerate (flat) returns center
+    x = extrema.quadratic_interp_1d(jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0), 1.0, 2.0, 3.0)
+    np.testing.assert_allclose(float(x), 2.0)
