@@ -1,0 +1,79 @@
+"""Benchmark: featExtract throughput on a synthetic 1mm T1-sized volume.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+metric  = end-to-end feature extraction (pyramid + refinement + orientation
+          + GoH descriptors) on a 182x218x182 volume (MNI 1mm T1 grid).
+value   = volumes/sec on one chip (median of timed runs, post-warmup).
+vs_baseline = speedup vs the reference's only in-tree wall-clock number:
+          ~55 s for the CPU Gaussian pyramid on a comparable volume
+          (src_common/GaussBlur3D.cpp:527 code comment) — i.e.
+          value / (1/55). The reference publishes no GPU numbers in-tree
+          (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def synthetic_t1(dims=(182, 218, 182), n_blobs=160, seed=7) -> np.ndarray:
+    """Brain-ish synthetic volume: smooth background + Gaussian structures."""
+    rng = np.random.default_rng(seed)
+    z, y, x = np.mgrid[0 : dims[0], 0 : dims[1], 0 : dims[2]].astype(np.float32)
+    c = np.array([d / 2 for d in dims], np.float32)
+    r2 = ((z - c[0]) / (0.45 * dims[0])) ** 2 + ((y - c[1]) / (0.45 * dims[1])) ** 2 + (
+        (x - c[2]) / (0.45 * dims[2])
+    ) ** 2
+    vol = 400.0 * np.exp(-2.0 * r2).astype(np.float32)
+    for _ in range(n_blobs):
+        bc = rng.uniform(0.2, 0.8, 3) * np.array(dims)
+        s = rng.uniform(1.5, 6.0)
+        a = rng.uniform(-150, 250)
+        dz, dy, dx = z - bc[0], y - bc[1], x - bc[2]
+        m2 = dz * dz + dy * dy + dx * dx
+        vol += a * np.exp(-m2 / (2 * s * s)).astype(np.float32)
+    return vol.astype(np.float32)
+
+
+def main() -> None:
+    import jax
+
+    from sift3d.core.config import DEFAULT_CONFIG
+    from sift3d.pipeline.extract import extract_features
+    from sift3d.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    vol = synthetic_t1()
+    # warmup (compilation)
+    feats = extract_features(vol, DEFAULT_CONFIG)
+    n_feats = len(feats)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        feats = extract_features(vol, DEFAULT_CONFIG)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    vps = 1.0 / dt
+
+    baseline_cpu_s = 55.0  # GaussBlur3D.cpp:527 (CPU pyramid, dev machine)
+    print(
+        json.dumps(
+            {
+                "metric": "featExtract volumes/sec (182x218x182 T1-sized, GoH descriptors, "
+                f"{n_feats} features)",
+                "value": round(vps, 4),
+                "unit": "volumes/sec/chip",
+                "vs_baseline": round(vps * baseline_cpu_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

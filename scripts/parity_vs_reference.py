@@ -1,0 +1,129 @@
+"""Parity harness: run the reference CPU featExtract binary (if executable)
+and this framework on the same synthetic volume, then compare keypoints.
+
+Usage:
+    python scripts/parity_vs_reference.py [--dims 64] [--ref <binary>]
+
+Metrics (SURVEY.md section 6 / BASELINE.md targets):
+  - keypoint count ratio (ours / reference)
+  - keypoint repeatability: fraction of reference unoriented keypoints with
+    one of ours within tol voxels and scale ratio < 2^(1/3)
+  - reverse repeatability (ours covered by reference)
+  - descriptor agreement on matched pairs (mean L2 of rank vectors)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import stat
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_BIN_SRC = (
+    "/root/reference/3dsift_cleanup-softVote_App_Weight_SoftMax/bin/Linux/featExtract"
+)
+
+
+def synthetic_volume(dims=64, seed=3):
+    rng = np.random.default_rng(seed)
+    z, y, x = np.mgrid[0:dims, 0:dims, 0:dims].astype(np.float32)
+    vol = np.zeros((dims, dims, dims), np.float32)
+    c = dims / 2
+    r2 = ((z - c) ** 2 + (y - c) ** 2 + (x - c) ** 2) / (0.45 * dims) ** 2
+    vol += 300.0 * np.exp(-2.0 * r2)
+    for _ in range(max(6, dims // 4)):
+        bc = rng.uniform(0.2, 0.8, 3) * dims
+        s = rng.uniform(2.0, 5.0)
+        a = rng.uniform(-150, 250)
+        m2 = (z - bc[0]) ** 2 + (y - bc[1]) ** 2 + (x - bc[2]) ** 2
+        vol += a * np.exp(-m2 / (2 * s * s))
+    return vol.astype(np.float32)
+
+
+def run_reference(ref_bin, vol_path, out_path):
+    r = subprocess.run([ref_bin, vol_path, out_path], capture_output=True, text=True, timeout=1800)
+    if r.returncode != 0:
+        print(r.stdout[-2000:], r.stderr[-2000:])
+        raise RuntimeError(f"reference binary failed rc={r.returncode}")
+
+
+def repeatability(a, b, tol=2.0, scale_ratio=2 ** (1.0 / 3.0)):
+    """Fraction of features in `a` with a geometric match in `b`."""
+    if len(a) == 0 or len(b) == 0:
+        return 0.0, np.zeros(0, np.int64)
+    d = np.linalg.norm(a.xyz[:, None, :] - b.xyz[None, :, :], axis=-1)
+    sr = a.scale[:, None] / b.scale[None, :]
+    ok = (d < tol) & (sr < scale_ratio) & (sr > 1.0 / scale_ratio)
+    hit = ok.any(axis=1)
+    nearest = np.where(hit, np.where(ok, d, np.inf).argmin(axis=1), -1)
+    return float(hit.mean()), nearest
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dims", type=int, default=64)
+    ap.add_argument("--ref", default=None)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="sift3d_parity_")
+    ref_bin = args.ref
+    if ref_bin is None:
+        ref_bin = os.path.join(tmp, "featExtract")
+        shutil.copy(REF_BIN_SRC, ref_bin)
+        os.chmod(ref_bin, os.stat(ref_bin).st_mode | stat.S_IXUSR)
+
+    from sift3d.io import keyfile, nifti
+
+    vol = synthetic_volume(args.dims)
+    vol_path = os.path.join(tmp, "vol.nii")
+    nifti.write(vol_path, vol, voxel_size=(1.0, 1.0, 1.0))
+
+    ref_key = os.path.join(tmp, "ref.key")
+    print(f"running reference binary on {args.dims}^3 volume ...")
+    run_reference(ref_bin, vol_path, ref_key)
+    ref_feats, _ = keyfile.read_text(ref_key)
+
+    print("running sift3d ...")
+    from sift3d.core.config import DEFAULT_CONFIG
+    from sift3d.pipeline.extract import extract_features
+
+    ours = extract_features(vol, DEFAULT_CONFIG)
+    ours = ours.apply_eig_threshold(DEFAULT_CONFIG.eig_threshold)
+    ours_key = os.path.join(tmp, "ours.key")
+    keyfile.write_text(ours, ours_key, eig_threshold=DEFAULT_CONFIG.eig_threshold)
+
+    # compare unoriented keypoint geometry (one per detected extremum)
+    ru = ref_feats.select(~ref_feats.is_reoriented)
+    ou = ours.select(~ours.is_reoriented)
+    print(f"reference: {len(ref_feats)} feats ({len(ru)} unoriented)")
+    print(f"ours:      {len(ours)} feats ({len(ou)} unoriented)")
+    fwd, nearest = repeatability(ru, ou)
+    rev, _ = repeatability(ou, ru)
+    print(f"repeatability ref->ours: {fwd:.3f}")
+    print(f"repeatability ours->ref: {rev:.3f}")
+
+    # descriptor agreement on matched unoriented pairs
+    m = nearest >= 0
+    if m.any():
+        dd = np.linalg.norm(ru.desc[m] - ou.desc[nearest[m]], axis=1)
+        rand = np.linalg.norm(
+            ru.desc[m] - ou.desc[np.random.default_rng(0).permutation(nearest[m])], axis=1
+        )
+        print(f"descriptor L2 matched pairs: mean {dd.mean():.1f} (random pairing {rand.mean():.1f})")
+    if args.keep:
+        print("artifacts in", tmp)
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,8 +42,19 @@ def write_text(
     path: str,
     eig_threshold: float = -1.0,
     comments: Optional[Sequence[str]] = None,
+    use_native: bool = True,
 ) -> int:
-    """Write features; returns the number written after eig filtering."""
+    """Write features; returns the number written after eig filtering.
+
+    Uses the C++ fast path (sift3d.io.native) when the toolchain is
+    available; the pure-Python writer below is the byte-identical fallback.
+    """
+    if use_native:
+        from sift3d.io import native
+
+        n = native.write_key_text(feats, path, eig_threshold, comments)
+        if n is not None:
+            return n
     keep = feats.eig_mask(eig_threshold)
     idx = np.nonzero(keep)[0]
     lines: List[str] = [HEADER_LINE]
@@ -67,7 +78,9 @@ def write_text(
     return len(idx)
 
 
-def read_text(path: str, eig_threshold: float = -1.0) -> Tuple[FeatureSet, List[str]]:
+def read_text(
+    path: str, eig_threshold: float = -1.0, use_native: bool = True
+) -> Tuple[FeatureSet, List[str]]:
     """Read a .key text file; returns (features, comment lines).
 
     Like the reference reader, comment lines are skipped and the feature
@@ -89,6 +102,14 @@ def read_text(path: str, eig_threshold: float = -1.0) -> Tuple[FeatureSet, List[
         legend = f.readline()
         if "Scale-space location[x y z scale]" not in legend:
             raise ValueError(f"{path}: missing legend line")
+        if use_native:
+            from sift3d.io import native
+
+            feats = native.read_key_text(path)
+            if feats is not None:
+                if eig_threshold >= 0:
+                    feats = feats.apply_eig_threshold(eig_threshold)
+                return feats, comments
         data = np.loadtxt(f, dtype=np.float64, max_rows=n, ndmin=2)
     if data.size == 0:
         return FeatureSet.empty(0), comments

@@ -1,0 +1,174 @@
+"""Batched rotated 11^3 patch sampling + patch-local helpers.
+
+Reference equivalents:
+- sampleImage3D (src_common/MultiScale.cpp:2614-2714): trilinear resampling
+  of an 11^3 patch around a feature, rotated by ori^-1 and scaled so the
+  patch radius covers 2x the feature scale.
+- Feature3D::NormalizeData (MultiScale.cpp:127-205): subtract mean, scale
+  to unit L2 norm.
+- fioGenerateEdgeImages3D (src_common/FeatureIO.cpp:2284-2326): central
+  differences over interior voxels, zero borders.
+
+Boundary behaviour note: the reference zeroes samples whose *x* image
+coordinate leaves the volume and clamps y/z via the interpolation-coordinate
+saturation (the y/z bound tests are a known typo, SURVEY.md section 2.3
+quirk 4 — but the observable behaviour is well-defined: x -> 0, y/z ->
+clamp). We reproduce that behaviour for parity with the reference binary.
+Candidates are pre-filtered by the iRadMax box test (MultiScale.cpp:2630-2643)
+so this only affects rotated patch corners.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from sift3d.kernels.resample import trilinear_sample
+
+PATCH_DIM = 11
+PATCH_RAD = PATCH_DIM // 2
+
+
+def invert_3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Batched analytic 3x3 inverse (MultiScale.h:192-222 invert_3x3)."""
+    a11, a12, a13 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    a21, a22, a23 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    a31, a32, a33 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    det = (
+        a11 * (a33 * a22 - a32 * a23)
+        - a21 * (a33 * a12 - a32 * a13)
+        + a31 * (a23 * a12 - a22 * a13)
+    )
+    inv_det = 1.0 / det
+    out = jnp.stack(
+        [
+            (a33 * a22 - a32 * a23),
+            -(a33 * a12 - a32 * a13),
+            (a23 * a12 - a22 * a13),
+            -(a33 * a21 - a31 * a23),
+            (a33 * a11 - a31 * a13),
+            -(a23 * a11 - a21 * a13),
+            (a32 * a21 - a31 * a22),
+            -(a32 * a11 - a31 * a12),
+            (a22 * a11 - a21 * a12),
+        ],
+        axis=-1,
+    ).reshape(m.shape)
+    return out * inv_det[..., None, None]
+
+
+def _patch_grid() -> np.ndarray:
+    """Static [1331, 3] grid of (x, y, z) offsets in [-5, 5], z-major order
+    matching data_zyx[z][y][x] layout."""
+    r = np.arange(-PATCH_RAD, PATCH_RAD + 1, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(r, r, r, indexing="ij")
+    return np.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=-1)  # [V, (x,y,z)]
+
+
+_GRID = _patch_grid()
+
+
+def sample_patches(
+    img: jnp.ndarray,  # [Z, Y, X]
+    centers: jnp.ndarray,  # [C, 3] (x, y, z) continuous coords
+    scales: jnp.ndarray,  # [C]
+    oris: jnp.ndarray,  # [C, 3, 3] orientation matrices (rows = axes)
+) -> jnp.ndarray:
+    """Sample rotated patches; returns [C, 11, 11, 11] in data_zyx order."""
+    grid = jnp.asarray(_GRID)  # [V, 3]
+    ori_inv = invert_3x3(oris)  # [C, 3, 3]
+    # rotate: xyz_img = ori_inv @ xyz_feat (MultiScale.cpp:2671)
+    rotated = jnp.einsum("cij,vj->cvi", ori_inv, grid)  # [C, V, 3]
+    # scale: patch radius covers 2x feature scale (MultiScale.cpp:2674)
+    fac = (2.0 * scales / float(PATCH_RAD))[:, None, None]
+    coords = rotated * fac + centers[:, None, :]  # [C, V, 3]
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    vals = trilinear_sample(img, x, y, z)
+    # x out of volume -> 0 (reference behaviour; see module docstring)
+    xd = img.shape[2]
+    vals = jnp.where((x < 0) | (x >= xd), 0.0, vals)
+    return vals.reshape(-1, PATCH_DIM, PATCH_DIM, PATCH_DIM)
+
+
+def normalize_patches(patches: jnp.ndarray) -> jnp.ndarray:
+    """Subtract mean, unit L2 norm (Feature3D::NormalizeData)."""
+    n = patches.shape[0]
+    flat = patches.reshape(n, -1)
+    centered = flat - flat.mean(axis=1, keepdims=True)
+    norm = jnp.sqrt((centered * centered).sum(axis=1, keepdims=True))
+    return (centered / jnp.where(norm > 0, norm, 1.0)).reshape(patches.shape)
+
+
+def patch_gradients(patches: jnp.ndarray) -> jnp.ndarray:
+    """Central differences, zero borders; returns [C, 3(dx,dy,dz), 11,11,11]."""
+    def cd(axis):
+        p = patches
+        hi = jnp.roll(p, -1, axis=axis)
+        lo = jnp.roll(p, 1, axis=axis)
+        g = hi - lo
+        # zero the borders of every axis (reference computes interior only)
+        mask = jnp.ones(patches.shape[1:], dtype=bool)
+        for ax in range(3):
+            idx = [slice(None)] * 3
+            idx[ax] = 0
+            mask = mask.at[tuple(idx)].set(False)
+            idx[ax] = -1
+            mask = mask.at[tuple(idx)].set(False)
+        return jnp.where(mask, g, 0.0)
+
+    # patches are [C, z, y, x]: dx is along axis 3, dy axis 2, dz axis 1
+    return jnp.stack([cd(3), cd(2), cd(1)], axis=1)
+
+
+def sphere_mask() -> np.ndarray:
+    """Static voxels-within-radius mask: (v-5)^2 sum < 25 (strict),
+    matching MultiScale.cpp:2584 with fRadius = 11/2 = 5 (int division)."""
+    r = np.arange(PATCH_DIM) - PATCH_RAD
+    zz, yy, xx = np.meshgrid(r, r, r, indexing="ij")
+    return (zz * zz + yy * yy + xx * xx) < PATCH_RAD * PATCH_RAD
+
+
+def structure_tensor_eigs(patches_norm: jnp.ndarray):
+    """Gradient outer-product over the inscribed sphere -> sorted eigs/vecs.
+
+    Port of determineOrientation3D (MultiScale.cpp:2541-2607): returns
+    (eigs [C,3] descending, ori [C,3,3] with eigenvectors in COLUMNS,
+    matching the NR SVD convention stored in Feature3DInfo::ori for
+    unoriented features).
+    """
+    grads = patch_gradients(patches_norm)  # [C, 3, z, y, x]
+    m = jnp.asarray(sphere_mask(), dtype=patches_norm.dtype)
+    g = grads * m[None, None]
+    flat = g.reshape(g.shape[0], 3, -1)
+    tensor = jnp.einsum("civ,cjv->cij", flat, flat)  # [C, 3, 3]
+    w, v = jnp.linalg.eigh(tensor)  # ascending
+    w = w[:, ::-1]
+    v = v[:, :, ::-1]  # eigenvectors in columns, now descending
+    return w, v
+
+
+def local_peaks_3d(vols: jnp.ndarray) -> jnp.ndarray:
+    """Strict 26-neighbor peaks over the last 3 axes, interior only.
+
+    Batched port of regFindFEATUREIOPeaks without callback
+    (MultiScale.cpp:1987-2121) as used on orientation histograms.
+    """
+    z, y, x = vols.shape[-3:]
+    lead = vols.shape[:-3]
+    pad_width = [(0, 0)] * len(lead) + [(1, 1)] * 3
+    pad = jnp.pad(vols, pad_width)
+    is_max = jnp.ones(vols.shape, dtype=bool)
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dz == 0 and dy == 0 and dx == 0:
+                    continue
+                sl = tuple([slice(None)] * len(lead)) + (
+                    slice(1 + dz, 1 + dz + z),
+                    slice(1 + dy, 1 + dy + y),
+                    slice(1 + dx, 1 + dx + x),
+                )
+                is_max &= vols > pad[sl]
+    interior = jnp.zeros((z, y, x), dtype=bool).at[1:-1, 1:-1, 1:-1].set(True)
+    return is_max & interior

@@ -1,0 +1,308 @@
+"""Batched feature stage: refinement, orientation, canonical orientations.
+
+Reference call stack being re-expressed (SURVEY.md section 3.2):
+
+    generateFeatures3D_efficient       MultiScale.cpp:1326-1424
+      interpolate_discrete_3D_point    :1614  (per-axis quadratic refinement)
+      interpolate_extremum_quadratic   :1641  (scale interpolation, x2)
+      generateFeature3D                :1705
+        sampleImage3D                  :2614  (rotated 11^3 trilinear patch)
+        NormalizeData                  :127
+        determineOrientation3D         :2541  (structure tensor + 3x3 eigen)
+        eig threshold reject           :1748-1769
+        determineCanonicalOrientation3D:2722  (spherical histogram peaks)
+
+TPU-native design: the reference walks candidates one by one on the host;
+here every step is batched over fixed-capacity candidate chunks so the
+whole stage is a handful of jitted programs:
+
+- a per-octave-shape *gather stage* (cheap to compile): DoG neighborhood
+  gathers, quadratic refinement, bounds test, identity-orientation patch
+  sampling;
+- a shape-independent *orientation stage* (compiled once per run):
+  normalization, structure tensor, eigenvalue test, canonical-orientation
+  histograms (splat -> blur -> strict-peak -> top-k -> subvoxel interp);
+- a per-octave-shape *resample stage* for the reoriented patches;
+- a shape-independent *descriptor stage* (see sift3d.kernels.descriptor).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sift3d.core.config import SiftConfig
+from sift3d.kernels import descriptor as desc_kernels
+from sift3d.kernels import gauss
+from sift3d.kernels.extrema import quadratic_interp_1d
+from sift3d.kernels.patch import (
+    PATCH_DIM,
+    PATCH_RAD,
+    local_peaks_3d,
+    normalize_patches,
+    sample_patches,
+    sphere_mask,
+    structure_tensor_eigs,
+)
+
+_HIST_BINS = PATCH_DIM * PATCH_DIM * PATCH_DIM
+
+
+def _norm_or_x(v: jnp.ndarray) -> jnp.ndarray:
+    """Normalize rows; zero vectors become (1, 0, 0) (vec3D_norm_3d,
+    MultiScale.cpp:1092-1111)."""
+    ss = (v * v).sum(axis=-1, keepdims=True)
+    unit = v / jnp.sqrt(jnp.where(ss > 0, ss, 1.0))
+    fallback = jnp.zeros_like(v).at[..., 0].set(1.0)
+    return jnp.where(ss > 0, unit, fallback)
+
+
+def _splat_histogram(coords_xyz: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear scatter-add into per-item 11^3 histograms.
+
+    coords_xyz: [C, V, 3] continuous (x, y, z); weights: [C, V].
+    Port of the fioIncPixelTrilinearInterp splat loop
+    (MultiScale.cpp:2780-2820) over a batch.
+    """
+    from sift3d.kernels.resample import trilinear_splat_weights
+
+    c, v, _ = coords_xyz.shape
+    iz, iy, ix, w = trilinear_splat_weights(
+        coords_xyz[..., 0], coords_xyz[..., 1], coords_xyz[..., 2], (PATCH_DIM,) * 3
+    )  # each [C, V, 8]
+    flat = (iz * PATCH_DIM + iy) * PATCH_DIM + ix  # [C, V, 8]
+    batch = jnp.broadcast_to(jnp.arange(c)[:, None, None], flat.shape)
+    hist = jnp.zeros((c, _HIST_BINS), dtype=weights.dtype)
+    hist = hist.at[batch, flat].add(w * weights[..., None])
+    return hist.reshape(c, PATCH_DIM, PATCH_DIM, PATCH_DIM)
+
+
+def _interp_hist_peaks(hist: jnp.ndarray, pz, py, px) -> jnp.ndarray:
+    """Per-axis quadratic subvoxel interpolation of histogram peaks.
+
+    hist: [C, 11, 11, 11]; pz/py/px: [C] int peak coords (interior).
+    Returns [C, 3] continuous (x, y, z). Port of
+    interpolate_discrete_3D_point (MultiScale.cpp:1614-1639).
+    """
+    cidx = jnp.arange(hist.shape[0])
+
+    def axis_interp(vm, v0, vp, coord):
+        return quadratic_interp_1d(
+            vm, v0, vp, coord.astype(jnp.float32) - 1.0, coord.astype(jnp.float32), coord.astype(jnp.float32) + 1.0
+        )
+
+    v0 = hist[cidx, pz, py, px]
+    fx = axis_interp(hist[cidx, pz, py, px - 1], v0, hist[cidx, pz, py, px + 1], px)
+    fy = axis_interp(hist[cidx, pz, py - 1, px], v0, hist[cidx, pz, py + 1, px], py)
+    fz = axis_interp(hist[cidx, pz - 1, py, px], v0, hist[cidx, pz + 1, py, px], pz)
+    return jnp.stack([fx, fy, fz], axis=-1)
+
+
+def _top_peaks(hist: jnp.ndarray, k: int):
+    """Strict 26-neighbor peaks, sorted descending, top-k.
+
+    Returns (values [C, k], coords z/y/x each [C, k], valid [C, k]).
+    Mirrors regFindFEATUREIOPeaks + lvSortHighLow on orientation
+    histograms (MultiScale.cpp:2851-2852).
+    """
+    peaks = local_peaks_3d(hist)
+    flat = jnp.where(peaks, hist, -jnp.inf).reshape(hist.shape[0], -1)
+    vals, idx = jax.lax.top_k(flat, k)
+    valid = jnp.isfinite(vals)
+    pz = idx // (PATCH_DIM * PATCH_DIM)
+    py = (idx // PATCH_DIM) % PATCH_DIM
+    px = idx % PATCH_DIM
+    # clamp so gather of +-1 neighbors stays in range for invalid slots
+    pz = jnp.clip(pz, 1, PATCH_DIM - 2)
+    py = jnp.clip(py, 1, PATCH_DIM - 2)
+    px = jnp.clip(px, 1, PATCH_DIM - 2)
+    return vals, pz, py, px, valid
+
+
+# ---------------------------------------------------------------------------
+# Gather stage (per-octave-shape)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("sigmas",))
+def gather_stage(gstack, dogs, lvl, zyx, valid, sigmas: Tuple[float, ...]):
+    """Refine candidates and sample identity-orientation patches.
+
+    Args:
+      gstack: [6, Z, Y, X] Gaussian levels of the octave.
+      dogs:   [5, Z, Y, X] DoG levels.
+      lvl:    [C] int32 center DoG index (1..3).
+      zyx:    [C, 3] int32 voxel coords (z, y, x).
+      valid:  [C] bool padding mask.
+      sigmas: static per-level blur sigmas (length 6).
+
+    Returns (xyz [C,3] float (x,y,z, +0.5 shifted), scale [C], keep [C],
+    patches [C, 11, 11, 11]).
+    """
+    sig = jnp.asarray(sigmas, dtype=jnp.float32)
+    z, y, x = zyx[:, 0], zyx[:, 1], zyx[:, 2]
+
+    d_c = dogs[lvl, z, y, x]
+    # spatial refinement: per-axis independent quadratic on the center level
+    fx = quadratic_interp_1d(
+        dogs[lvl, z, y, x - 1], d_c, dogs[lvl, z, y, x + 1],
+        (x - 1).astype(jnp.float32), x.astype(jnp.float32), (x + 1).astype(jnp.float32),
+    )
+    fy = quadratic_interp_1d(
+        dogs[lvl, z, y - 1, x], d_c, dogs[lvl, z, y + 1, x],
+        (y - 1).astype(jnp.float32), y.astype(jnp.float32), (y + 1).astype(jnp.float32),
+    )
+    fz = quadratic_interp_1d(
+        dogs[lvl, z - 1, y, x], d_c, dogs[lvl, z + 1, y, x],
+        (z - 1).astype(jnp.float32), z.astype(jnp.float32), (z + 1).astype(jnp.float32),
+    )
+    # scale refinement across DoG levels at the integer voxel, x2
+    # (generateFeatures3D_efficient, MultiScale.cpp:1376-1381)
+    d_lo = dogs[lvl - 1, z, y, x]
+    d_hi = dogs[lvl + 1, z, y, x]
+    scale = 2.0 * quadratic_interp_1d(d_lo, d_c, d_hi, sig[lvl - 1], sig[lvl], sig[lvl + 1])
+
+    # subpixel center shift (MultiScale.cpp:1384-1386)
+    xyz = jnp.stack([fx + 0.5, fy + 0.5, fz + 0.5], axis=-1)
+
+    # bounds test (sampleImage3D, MultiScale.cpp:2630-2643)
+    rad_max = jnp.floor(2.0 * scale + 2.0)
+    zd, yd, xd = dogs.shape[1:]
+    dims = jnp.asarray([xd, yd, zd], dtype=jnp.float32)
+    in_bounds = jnp.all((xyz - rad_max[:, None] >= 0) & (xyz + rad_max[:, None] < dims), axis=-1)
+    keep = valid & in_bounds
+
+    # identity-orientation patch from the Gaussian level matching the
+    # center DoG index (fioG0 at generation time, see SURVEY.md 3.2)
+    img_lvl = lvl
+    ident = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (lvl.shape[0], 3, 3))
+
+    # sample from each of the 3 possible image levels and select per
+    # candidate (cheaper than per-candidate dynamic level gathers)
+    patches_by_lvl = []
+    for li in (1, 2, 3):
+        patches_by_lvl.append(sample_patches(gstack[li], xyz, scale, ident))
+    stacked = jnp.stack(patches_by_lvl)  # [3, C, 11,11,11]
+    sel = jnp.clip(img_lvl - 1, 0, 2)
+    patches = stacked[sel, jnp.arange(lvl.shape[0])]
+
+    return xyz, scale, keep, patches
+
+
+# ---------------------------------------------------------------------------
+# Orientation stage (shape-independent)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def orient_stage(patches, cfg: SiftConfig):
+    """Normalize, eigen-orient, eig-test, canonical orientations.
+
+    Returns dict with: patches_norm [C,...], eigs [C,3], eig_ori [C,3,3]
+    (eigenvectors in columns), eig_keep [C], ori [C,K1,K2,3,3] (rows =
+    P1/P2/P3), ori_valid [C,K1,K2].
+    """
+    k1 = cfg.max_primary_orientations
+    k2 = cfg.max_secondary_orientations
+    c = patches.shape[0]
+
+    pn = normalize_patches(patches)
+    eigs, eig_ori = structure_tensor_eigs(pn)
+    s = eigs.sum(axis=1)
+    p = eigs.prod(axis=1)
+    # keep iff (sum)^3 < thres * prod (MultiScale.cpp:1763; thres < 0 keeps all)
+    if cfg.eig_threshold < 0:
+        eig_keep = jnp.ones((c,), dtype=bool)
+    else:
+        eig_keep = s * s * s < cfg.eig_threshold * p
+
+    # gradients of the normalized patch
+    from sift3d.kernels.patch import patch_gradients
+
+    grads = patch_gradients(pn)  # [C, 3(dx,dy,dz), z, y, x]
+    gflat = grads.reshape(c, 3, -1).transpose(0, 2, 1)  # [C, V, (dx,dy,dz)]
+    mag = jnp.sqrt((gflat * gflat).sum(-1))  # [C, V]
+    smask = jnp.asarray(sphere_mask().ravel())
+    wgt = jnp.where(smask[None, :] & (mag > 0), mag, 0.0)
+    e = gflat / jnp.where(mag > 0, mag, 1.0)[..., None]  # unit edges
+
+    rad = float(PATCH_RAD)
+    # primary histogram: splat at e*rad + rad (+0.5) (MultiScale.cpp:2805-2816)
+    coords1 = e * rad + rad + 0.5
+    hist1 = gauss.blur3d_batched(
+        _splat_histogram(coords1, wgt), cfg.ori_hist_blur_sigma, 0.01
+    )
+    v1, pz1, py1, px1, pk1 = _top_peaks(hist1, k1)
+    # threshold: >= 0.8 * strongest (strict < breaks, MultiScale.cpp:2889)
+    valid1 = pk1 & (v1 >= cfg.ori_peak_threshold * v1[:, :1]) & (v1 > 0)
+    # subvoxel interp, center-shift, normalize -> P1 per slot
+    p1_list = []
+    for s1 in range(k1):
+        itp = _interp_hist_peaks(hist1, pz1[:, s1], py1[:, s1], px1[:, s1])
+        p1_list.append(_norm_or_x(itp - rad))
+    p1 = jnp.stack(p1_list, axis=1)  # [C, K1, 3]
+
+    # secondary histograms per primary slot
+    ori = jnp.zeros((c, k1, k2, 3, 3), dtype=jnp.float32)
+    ori_valid = jnp.zeros((c, k1, k2), dtype=bool)
+    for s1 in range(k1):
+        p1s = p1[:, s1]  # [C, 3]
+        par = (e * p1s[:, None, :]).sum(-1, keepdims=True)
+        perp = _norm_or_x(e - par * p1s[:, None, :])
+        coords2 = perp * rad + rad + 0.5
+        hist2 = gauss.blur3d_batched(
+            _splat_histogram(coords2, wgt), cfg.ori_hist_blur_sigma, 0.01
+        )
+        v2, pz2, py2, px2, pk2 = _top_peaks(hist2, k2)
+        valid2 = pk2 & (v2 >= cfg.ori_2nd_peak_threshold * v2[:, :1]) & (v2 > 0)
+        for s2 in range(k2):
+            itp = _interp_hist_peaks(hist2, pz2[:, s2], py2[:, s2], px2[:, s2])
+            p2 = _norm_or_x(itp - rad)
+            # orthogonalize against P1 and renormalize (MultiScale.cpp:3006-3015)
+            p2 = _norm_or_x(p2 - (p2 * p1s).sum(-1, keepdims=True) * p1s)
+            p3 = jnp.cross(p1s, p2)
+            mat = jnp.stack([p1s, p2, p3], axis=1)  # rows = P1, P2, P3
+            ori = ori.at[:, s1, s2].set(mat)
+            ori_valid = ori_valid.at[:, s1, s2].set(valid1[:, s1] & valid2[:, s2])
+
+    return dict(
+        patches_norm=pn,
+        eigs=eigs,
+        eig_ori=eig_ori,
+        eig_keep=eig_keep,
+        ori=ori,
+        ori_valid=ori_valid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resample stage (per-octave-shape) + descriptor stage (shape-independent)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def resample_stage(gstack, xyz, scale, oris, lvl):
+    """Sample rotated patches for reoriented features ([C] level indices)."""
+    patches_by_lvl = []
+    for li in (1, 2, 3):
+        patches_by_lvl.append(sample_patches(gstack[li], xyz, scale, oris))
+    stacked = jnp.stack(patches_by_lvl)
+    sel = jnp.clip(lvl - 1, 0, 2)
+    return stacked[sel, jnp.arange(xyz.shape[0])]
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "method"))
+def descriptor_stage(patches, variant: str = "goh", method: int = 2):
+    """NormalizeData + descriptor + rank normalization (featExtract.cpp:477-499)."""
+    pn = normalize_patches(patches)
+    if variant == "goh":
+        d = desc_kernels.goh_descriptor(pn)
+        d = desc_kernels.normalize_positive(d)
+    else:
+        d = desc_kernels.brief_descriptor(pn, variant=variant, method=method)
+    return desc_kernels.rank_normalize(d)

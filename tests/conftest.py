@@ -1,18 +1,16 @@
 """Test harness configuration.
 
-Tests run on a simulated 8-device CPU platform so multi-chip sharding logic
-is exercised without TPU hardware (the strategy SURVEY.md section 4 calls
-for). Must be set before jax initializes.
+Tests run on a simulated 8-device CPU platform so multi-chip sharding
+logic is exercised without TPU hardware (the strategy SURVEY.md section 4
+calls for). The environment may import jax and register a hardware PJRT
+plugin at interpreter start (sitecustomize), snapshotting JAX_PLATFORMS —
+so the platform must be forced through jax.config, not os.environ.
 """
 
-import os
+import jax
 
-# Force override: the environment may pin JAX_PLATFORMS to a hardware
-# platform; unit tests must run on the simulated CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

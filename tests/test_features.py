@@ -1,0 +1,152 @@
+"""Feature-stage unit tests: patch sampling, structure tensor, descriptors."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from sift3d.core.config import SiftConfig
+from sift3d.kernels import descriptor as dk
+from sift3d.kernels import patch as pk
+
+
+def test_invert_3x3_matches_numpy(rng):
+    m = rng.standard_normal((5, 3, 3)).astype(np.float32)
+    m += 3 * np.eye(3)  # well-conditioned
+    got = np.asarray(pk.invert_3x3(jnp.asarray(m)))
+    want = np.linalg.inv(m)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sample_patches_identity_center(rng):
+    img = rng.standard_normal((24, 24, 24)).astype(np.float32)
+    center = np.array([[12.5, 12.5, 12.5]], np.float32)  # voxel 12 center
+    # scale 2.5 -> patch step = 2*2.5/5 = 1.0: patch = raw voxels
+    ori = np.eye(3, dtype=np.float32)[None]
+    patches = np.asarray(
+        pk.sample_patches(jnp.asarray(img), jnp.asarray(center), jnp.asarray([2.5], np.float32), jnp.asarray(ori))
+    )
+    assert patches.shape == (1, 11, 11, 11)
+    want = img[12 - 5 : 12 + 6, 12 - 5 : 12 + 6, 12 - 5 : 12 + 6]
+    np.testing.assert_allclose(patches[0], want, atol=1e-5)
+
+
+def test_sample_patches_rotation_90deg(rng):
+    img = rng.standard_normal((24, 24, 24)).astype(np.float32)
+    center = np.array([[12.5, 12.5, 12.5]], np.float32)
+    # rotation by 90 degrees about z: x->y, y->-x (rows are target axes)
+    rot = np.array([[0, 1, 0], [-1, 0, 0], [0, 0, 1]], np.float32)[None]
+    p_rot = np.asarray(
+        pk.sample_patches(jnp.asarray(img), jnp.asarray(center), jnp.asarray([2.5], np.float32), jnp.asarray(rot))
+    )
+    p_id = np.asarray(
+        pk.sample_patches(
+            jnp.asarray(img), jnp.asarray(center), jnp.asarray([2.5], np.float32), jnp.asarray(np.eye(3, dtype=np.float32)[None])
+        )
+    )
+    # sampling with ori^-1 applied to patch coords: patch(x, y) = img(rot^-1 @ (x,y))
+    # rotating the identity patch by the same rotation should match
+    np.testing.assert_allclose(p_rot[0], np.rot90(p_id[0], k=1, axes=(1, 2)), atol=1e-4)
+
+
+def test_normalize_patches(rng):
+    p = rng.standard_normal((3, 11, 11, 11)).astype(np.float32) * 7 + 3
+    pn = np.asarray(pk.normalize_patches(jnp.asarray(p)))
+    flat = pn.reshape(3, -1)
+    np.testing.assert_allclose(flat.mean(axis=1), 0.0, atol=1e-6)
+    np.testing.assert_allclose((flat**2).sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_structure_tensor_dominant_direction(rng):
+    # gradient only along x -> dominant eigenvector ~ x axis
+    x = np.arange(11, dtype=np.float32)
+    patch = np.tile(x, (11, 11, 1))[None]  # [1, z, y, x] linear in x
+    eigs, ori = pk.structure_tensor_eigs(jnp.asarray(patch))
+    eigs, ori = np.asarray(eigs), np.asarray(ori)
+    assert eigs[0, 0] > 100 * max(eigs[0, 1], 1e-6)
+    v = np.abs(ori[0][:, 0])  # first column = dominant eigenvector
+    np.testing.assert_allclose(v, [1, 0, 0], atol=1e-4)
+
+
+def test_local_peaks_3d():
+    vol = np.zeros((2, 7, 7, 7), np.float32)
+    vol[0, 3, 3, 3] = 1.0
+    vol[1, 4, 4, 4] = 1.0  # interior peak
+    vol[1, 0, 0, 0] = 5.0  # border maximum: excluded (not adjacent to 4,4,4)
+    got = np.asarray(pk.local_peaks_3d(jnp.asarray(vol)))
+    assert got[0, 3, 3, 3] and got[0].sum() == 1
+    assert got[1, 4, 4, 4] and not got[1, 0, 0, 0] and got[1].sum() == 1
+
+
+def test_goh_descriptor_shape_and_layout(rng):
+    p = rng.standard_normal((4, 11, 11, 11)).astype(np.float32)
+    pn = pk.normalize_patches(jnp.asarray(p))
+    d = np.asarray(dk.goh_descriptor(pn))
+    assert d.shape == (4, 64)
+    assert (d >= 0).all()
+
+
+def test_goh_gradient_direction_binning():
+    # patch increasing along +x only: gradient (+,0,0); max-dot corners are
+    # the 4 (+1,*,*) dirs, first win = index 0 -> all mass in ori bin 0
+    x = np.arange(11, dtype=np.float32)
+    patch = np.tile(x, (11, 11, 1))[None]
+    d = np.asarray(dk.goh_descriptor(jnp.asarray(patch)))
+    d = d.reshape(2, 2, 2, 8)
+    assert d[..., 0].sum() > 0
+    assert d[..., 1:].sum() == 0
+
+
+def test_rank_normalize():
+    d = jnp.asarray(np.array([[3.0, 1.0, 2.0, 1.0]]))
+    r = np.asarray(dk.rank_normalize(d))
+    # ascending with ties by index: 1.0(idx1)->0, 1.0(idx3)->1, 2.0->2, 3.0->3
+    np.testing.assert_array_equal(r[0], [3, 0, 2, 1])
+
+
+def test_normalize_positive():
+    d = jnp.asarray(np.array([[1.0, 3.0, 5.0]]))
+    out = np.asarray(dk.normalize_positive(d))
+    want = np.array([0.0, 2.0, 4.0])
+    want = want / np.linalg.norm(want)
+    np.testing.assert_allclose(out[0], want, rtol=1e-6)
+
+
+def test_brief_tables_frozen():
+    p, q = dk.brief_pair_table(2)
+    assert p.shape == (64, 3) and q.shape == (64, 3)
+    # spot values from MultiScale.cpp:805-807 (x,y,z triplets)
+    np.testing.assert_array_equal(p[0], [5, 4, 4])
+    np.testing.assert_array_equal(q[0], [6, 5, 3])
+    p3, q3 = dk.brief_pair_table(3)
+    assert (p3 == 5).all()
+
+
+def test_brief_variants(rng):
+    patches = rng.standard_normal((2, 11, 11, 11)).astype(np.float32)
+    pn = pk.normalize_patches(jnp.asarray(patches))
+    rr = np.asarray(dk.brief_descriptor(pn, "rrief"))
+    br = np.asarray(dk.brief_descriptor(pn, "brief"))
+    nr = np.asarray(dk.brief_descriptor(pn, "nrrief"))
+    assert rr.shape == br.shape == nr.shape == (2, 64)
+    np.testing.assert_array_equal(br, (rr < 0).astype(np.float32))
+    # nrrief = rrief / int-dist, so |nrrief| <= |rrief|
+    assert (np.abs(nr) <= np.abs(rr) + 1e-6).all()
+
+
+def test_orient_stage_returns_valid_orientations(rng):
+    from sift3d.pipeline.features import orient_stage
+
+    cfg = SiftConfig()
+    patches = rng.standard_normal((8, 11, 11, 11)).astype(np.float32)
+    out = orient_stage(jnp.asarray(patches), cfg)
+    ori = np.asarray(out["ori"])
+    ov = np.asarray(out["ori_valid"])
+    assert ov.any(), "random patches should produce at least one orientation"
+    # every valid orientation matrix is orthonormal with det +1
+    for c in range(8):
+        for s1 in range(ov.shape[1]):
+            for s2 in range(ov.shape[2]):
+                if ov[c, s1, s2]:
+                    m = ori[c, s1, s2]
+                    np.testing.assert_allclose(m @ m.T, np.eye(3), atol=2e-2)
+                    assert np.linalg.det(m) > 0.9

@@ -1,0 +1,109 @@
+"""End-to-end extraction on synthetic volumes.
+
+Oracle strategy (SURVEY.md section 4): synthetic volumes with known
+structure (Gaussian blobs) must yield features at the blob locations with
+scales proportional to blob size, and the pipeline must be equivariant
+under axis flips/shifts within tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sift3d.core.config import SiftConfig
+from sift3d.pipeline.extract import extract_features
+from sift3d.pipeline.pyramid import initial_blur, num_octaves, octave_step
+
+
+def _blob_volume(dims=(48, 48, 48), blobs=(((24, 24, 24), 3.0, 1.0),)):
+    """Sum of Gaussian blobs: ((x, y, z), sigma, amplitude)."""
+    z, y, x = np.mgrid[0 : dims[0], 0 : dims[1], 0 : dims[2]].astype(np.float32)
+    vol = np.zeros(dims, np.float32)
+    for (bx, by, bz), s, a in blobs:
+        vol += a * np.exp(-(((x - bx) ** 2 + (y - by) ** 2 + (z - bz) ** 2) / (2 * s * s)))
+    return vol
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return SiftConfig(feature_chunk=256)
+
+
+def test_octave_step_shapes(cfg):
+    vol = jnp.zeros((16, 20, 24), jnp.float32)
+    res = octave_step(initial_blur(vol, cfg), cfg)
+    assert res.gstack.shape == (6, 16, 20, 24)
+    assert res.dogs.shape == (5, 16, 20, 24)
+    assert res.mask.shape == (3, 16, 20, 24)
+    assert res.next_base.shape == (8, 10, 12)
+
+
+def test_num_octaves():
+    assert num_octaves((48, 48, 48), SiftConfig()) == 5  # 48,24,12,6,3 (2 stops)
+    assert num_octaves((2, 48, 48), SiftConfig()) == 0
+
+
+def test_extract_single_blob(cfg):
+    vol = _blob_volume()
+    feats = extract_features(vol, cfg)
+    assert len(feats) > 0
+    # the strongest (peak) feature should sit at the blob center
+    peaks = feats.select(feats.is_peak & ~feats.is_reoriented)
+    assert len(peaks) > 0
+    d = np.linalg.norm(peaks.xyz - np.array([24.5, 24.5, 24.5]), axis=1)
+    assert d.min() < 1.5, f"no peak near blob center, nearest {d.min()}"
+    near = peaks.select(d < 1.5)
+    # DoG response of a blob of sigma s peaks at feature scale ~ 2s
+    # (scale = 2x interpolated sigma); allow a broad band
+    assert (near.scale > 3.0).any() and (near.scale < 12.0).all()
+
+
+def test_extract_multi_blob_counts(cfg):
+    # blob sigmas must be >= ~2.5: the scale-space extremum of a sigma-2
+    # blob falls below the first detectable DoG center level (sigma 2.02),
+    # a blind spot shared with the reference (that is what -2+ is for)
+    blobs = (
+        ((12, 12, 12), 2.6, 1.0),
+        ((34, 30, 14), 3.0, 0.8),
+        ((20, 34, 34), 2.5, -0.9),  # dark blob -> valley feature
+    )
+    vol = _blob_volume((48, 48, 48), blobs)
+    feats = extract_features(vol, SiftConfig(feature_chunk=256))
+    un = feats.select(~feats.is_reoriented)
+    assert len(un) >= 3
+    for (bx, by, bz), s, a in blobs:
+        d = np.linalg.norm(un.xyz - np.array([bx + 0.5, by + 0.5, bz + 0.5]), axis=1)
+        i = d.argmin()
+        assert d[i] < 2.0, f"blob at {(bx,by,bz)} missed (nearest {d[i]:.2f})"
+        want_peak = a > 0
+        assert bool(un.info[i] & 0x10) == want_peak
+
+
+def test_extract_translation_covariance(cfg):
+    """Shifting the volume shifts the features (repeatability harness)."""
+    blobs = (((20, 22, 18), 2.5, 1.0),)
+    v1 = _blob_volume((44, 44, 44), blobs)
+    shift = 4
+    blobs2 = (((20 + shift, 22, 18), 2.5, 1.0),)
+    v2 = _blob_volume((44, 44, 44), blobs2)
+    f1 = extract_features(v1, cfg).select(lambda s: slice(None)) if False else extract_features(v1, cfg)
+    f2 = extract_features(v2, cfg)
+    u1 = f1.select(~f1.is_reoriented)
+    u2 = f2.select(~f2.is_reoriented)
+    # strongest feature near each blob should shift by `shift` in x
+    d1 = np.linalg.norm(u1.xyz - np.array([20.5, 22.5, 18.5]), axis=1)
+    d2 = np.linalg.norm(u2.xyz - np.array([24.5, 22.5, 18.5]), axis=1)
+    assert d1.min() < 1.0 and d2.min() < 1.0
+    p1 = u1.xyz[d1.argmin()]
+    p2 = u2.xyz[d2.argmin()]
+    np.testing.assert_allclose(p2 - p1, [shift, 0, 0], atol=0.75)
+
+
+def test_descriptors_are_ranks(cfg):
+    vol = _blob_volume((40, 40, 40), (((20, 20, 20), 2.5, 1.0), ((10, 28, 12), 2.0, 0.7)))
+    feats = extract_features(vol, cfg)
+    assert len(feats) > 0
+    # rank-normalized descriptors are permutations of 0..63
+    for i in range(min(5, len(feats))):
+        np.testing.assert_array_equal(np.sort(feats.desc[i]), np.arange(64))
