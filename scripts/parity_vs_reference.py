@@ -26,6 +26,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("SIFT3D_FORCE_CPU") == "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 REF_BIN_SRC = (
     "/root/reference/3dsift_cleanup-softVote_App_Weight_SoftMax/bin/Linux/featExtract"
 )

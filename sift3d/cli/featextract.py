@@ -49,6 +49,7 @@ def main(argv=None) -> int:
     isotropic = False
     descriptor = "goh"
     show_time = False
+    debug_pgm = False
     i = 0
     while i < len(argv) and argv[i].startswith("-"):
         a = argv[i]
@@ -68,6 +69,8 @@ def main(argv=None) -> int:
             descriptor = "nrrief"
         elif a == "--time":
             show_time = True
+        elif a == "--debug-pgm":
+            debug_pgm = True
         else:
             print(f"Error: unknown command line argument: {a}")
             print_options()
@@ -106,6 +109,13 @@ def main(argv=None) -> int:
         print(f"Could not read volume: {in_path}")
         return -1
     print(f"Input image: i={data.shape[2]} j={data.shape[1]} k={data.shape[0]}")
+
+    if debug_pgm:
+        # mid-stack XY slice dump, the reference's eyeball check
+        # (MultiScale.cpp:305-313 'image.pgm')
+        from sift3d.utils.pgm import write_volume_slice
+
+        write_volume_slice("image.pgm", np.asarray(data))
 
     timer = StageTimer(enabled=True)
     feats = extract_features(

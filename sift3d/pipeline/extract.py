@@ -17,18 +17,16 @@ scale (itself 2x the interpolated sigma).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from sift3d.core.config import DEFAULT_CONFIG, SiftConfig
-from sift3d.core.featureset import (
-    INFO_FLAG_MIN0MAX1,
-    INFO_FLAG_REORIENT,
-    FeatureSet,
-)
+from sift3d.core.featureset import FeatureSet
 from sift3d.pipeline import features as fstage
 from sift3d.pipeline import pyramid
 from sift3d.utils.timing import StageTimer
@@ -39,6 +37,41 @@ def _pad_to(arr: np.ndarray, n: int, fill=0):
         return arr
     pad = np.full((n - arr.shape[0],) + arr.shape[1:], fill, dtype=arr.dtype)
     return np.concatenate([arr, pad], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _compact_mask(mask: jnp.ndarray, size: int):
+    """Device-side extrema compaction: flat indices + signs + total count.
+
+    Avoids transferring the full int8 mask volume to the host (tens of MB
+    at T1 scale); only `size` indices plus signs cross the wire. The count
+    lets the host detect overflow and fall back to a full transfer.
+    """
+    flat = mask.ravel()
+    total = (flat != 0).sum()
+    idx = jnp.nonzero(flat != 0, size=size, fill_value=-1)[0]
+    sign = jnp.where(idx >= 0, flat[jnp.clip(idx, 0)], 0)
+    return idx, sign, total
+
+
+def _extract_candidates(res_mask, cap: int):
+    """Returns (lvl0, zs, ys, xs, signs) numpy arrays from the device mask."""
+    nl, zd, yd, xd = res_mask.shape
+    size = min(cap, nl * zd * yd * xd)
+    idx_d, sign_d, total_d = _compact_mask(res_mask, size)
+    total = int(total_d)  # tiny blocking transfer
+    if total > size:
+        # overflow (extremely textured volume): full fallback transfer
+        mask = np.asarray(res_mask)
+        lvls0, zs, ys, xs = np.nonzero(mask)
+        return lvls0, zs, ys, xs, mask[lvls0, zs, ys, xs].astype(np.int32)
+    # download exactly `total` entries (device slice keeps the wire small)
+    idx = np.asarray(idx_d[:total])
+    sign = np.asarray(sign_d[:total]).astype(np.int32)
+    lvls0, rem = np.divmod(idx, zd * yd * xd)
+    zs, rem = np.divmod(rem, yd * xd)
+    ys, xs = np.divmod(rem, xd)
+    return lvls0, zs, ys, xs, sign
 
 
 def extract_features(
@@ -70,11 +103,11 @@ def extract_features(
         base = res.next_base
 
         with timer.stage(f"octave{octave}/candidates"):
-            mask = np.asarray(res.mask)
-            lvls0, zs, ys, xs = np.nonzero(mask)
+            lvls0, zs, ys, xs, signs = _extract_candidates(
+                res.mask, 8 * cfg.max_candidates_per_level
+            )
             if lvls0.size == 0:
                 continue
-            signs = mask[lvls0, zs, ys, xs].astype(np.int32)
             dog_lvl = (lvls0 + 1).astype(np.int32)
             # reference emission order: per level, valleys then peaks,
             # scan order (generateFeatures3D_efficient loops)
@@ -100,128 +133,46 @@ def extract_features(
             c_valid = np.zeros((chunk,), dtype=bool)
             c_valid[: end - start] = True
 
+            c_lvl_d = jnp.asarray(c_lvl)
+            c_sign_d = jnp.asarray(c_sign)
             with timer.stage(f"octave{octave}/gather"):
                 xyz, scale, keep, patches = fstage.gather_stage(
-                    res.gstack, res.dogs, jnp.asarray(c_lvl), jnp.asarray(c_zyx),
+                    res.gstack, res.dogs, c_lvl_d, jnp.asarray(c_zyx),
                     jnp.asarray(c_valid), sigmas,
                 )
             with timer.stage(f"octave{octave}/orient"):
                 o = fstage.orient_stage(patches, cfg)
-
-            keep_np = np.asarray(keep) & np.asarray(o["eig_keep"])
-            if not keep_np.any():
-                continue
-            kept = np.nonzero(keep_np)[0]
-
-            xyz_np = np.asarray(xyz)[kept]
-            scale_np = np.asarray(scale)[kept]
-            eigs_np = np.asarray(o["eigs"])[kept]
-            eig_ori_np = np.asarray(o["eig_ori"])[kept]
-            ori_np = np.asarray(o["ori"])[kept]  # [K, K1, K2, 3, 3]
-            ov_np = np.asarray(o["ori_valid"])[kept]  # [K, K1, K2]
-            sign_np = c_sign[kept]
-            lvl_np = c_lvl[kept]
-
-            # ---- assemble output rows: unoriented + up to max_orientations
-            rows_xyz, rows_scale, rows_eigs, rows_ori, rows_info = [], [], [], [], []
-            # which patch to describe: (source, idx) source 0 = identity
-            # patch from gather stage, 1 = resampled rotated patch
-            resample_centers, resample_scales, resample_oris, resample_lvls = [], [], [], []
-            patch_src = []  # (0, kept_idx) or (1, resample_idx)
-
-            for i in range(len(kept)):
-                base_info = INFO_FLAG_MIN0MAX1 if sign_np[i] > 0 else 0
-                rows_xyz.append(xyz_np[i])
-                rows_scale.append(scale_np[i])
-                rows_eigs.append(eigs_np[i])
-                rows_ori.append(eig_ori_np[i])
-                rows_info.append(base_info)  # REORIENT cleared
-                patch_src.append((0, kept[i]))
-                if not reoriented:
-                    continue
-                emitted = 0
-                kk1, kk2 = ov_np.shape[1:]
-                for s1 in range(kk1):
-                    for s2 in range(kk2):
-                        if emitted >= cfg.max_orientations:
-                            break
-                        if not ov_np[i, s1, s2]:
-                            continue
-                        rows_xyz.append(xyz_np[i])
-                        rows_scale.append(scale_np[i])
-                        rows_eigs.append(eigs_np[i])
-                        rows_ori.append(ori_np[i, s1, s2])
-                        rows_info.append(base_info | INFO_FLAG_REORIENT)
-                        patch_src.append((1, len(resample_centers)))
-                        resample_centers.append(xyz_np[i])
-                        resample_scales.append(scale_np[i])
-                        resample_oris.append(ori_np[i, s1, s2])
-                        resample_lvls.append(lvl_np[i])
-                        emitted += 1
-
-            if not rows_xyz:
-                continue
-
-            # ---- rotated patches for reoriented rows
-            if resample_centers:
-                with timer.stage(f"octave{octave}/resample"):
-                    rc = np.asarray(resample_centers, dtype=np.float32)
-                    rs = np.asarray(resample_scales, dtype=np.float32)
-                    ro = np.asarray(resample_oris, dtype=np.float32)
-                    rl = np.asarray(resample_lvls, dtype=np.int32)
-                    m = rc.shape[0]
-                    mp = int(np.ceil(m / chunk) * chunk)
-                    rot_patches = []
-                    for s0 in range(0, mp, chunk):
-                        e0 = min(s0 + chunk, m)
-                        rot_patches.append(
-                            np.asarray(
-                                fstage.resample_stage(
-                                    res.gstack,
-                                    jnp.asarray(_pad_to(rc[s0:e0], chunk)),
-                                    jnp.asarray(_pad_to(rs[s0:e0], chunk, fill=1)),
-                                    jnp.asarray(
-                                        _pad_to(ro[s0:e0], chunk, fill=0)
-                                        + np.concatenate(
-                                            [
-                                                np.zeros((e0 - s0, 3, 3), np.float32),
-                                                np.tile(np.eye(3, dtype=np.float32), (chunk - (e0 - s0), 1, 1)),
-                                            ]
-                                        )
-                                    ),
-                                    jnp.asarray(_pad_to(rl[s0:e0], chunk, fill=1)),
-                                )
-                            )[: e0 - s0]
-                        )
-                    rot_patches = np.concatenate(rot_patches, axis=0)
-
-            # ---- descriptors
-            gather_patches = np.asarray(patches)
-            all_patches = np.stack(
-                [
-                    gather_patches[idx] if src == 0 else rot_patches[idx]
-                    for (src, idx) in patch_src
-                ]
-            )
-            with timer.stage(f"octave{octave}/descriptor"):
-                n_rows = all_patches.shape[0]
-                np_pad = int(np.ceil(n_rows / chunk) * chunk)
-                descs = []
-                for s0 in range(0, np_pad, chunk):
-                    e0 = min(s0 + chunk, n_rows)
-                    block = _pad_to(all_patches[s0:e0], chunk)
-                    descs.append(np.asarray(fstage.descriptor_stage(jnp.asarray(block), descriptor))[: e0 - s0])
-                desc = np.concatenate(descs, axis=0)
-
-            out_sets.append(
-                FeatureSet(
-                    xyz=np.asarray(rows_xyz, np.float32) * factor,
-                    scale=np.asarray(rows_scale, np.float32) * factor,
-                    ori=np.asarray(rows_ori, np.float32),
-                    eigs=np.asarray(rows_eigs, np.float32),
-                    info=np.asarray(rows_info, np.uint32),
-                    desc=desc.astype(np.float32),
+            with timer.stage(f"octave{octave}/emit"):
+                emit_cap = 4 * chunk
+                count, r_xyz, r_scale, r_eigs, r_ori, r_info, r_patches = fstage.emit_stage(
+                    res.gstack, c_lvl_d, xyz, scale,
+                    keep & o["eig_keep"], c_sign_d,
+                    o["eigs"], o["eig_ori"], o["ori"], o["ori_valid"],
+                    cfg, emit_cap, reoriented,
                 )
-            )
+            with timer.stage(f"octave{octave}/descriptor"):
+                r_desc = fstage.descriptor_stage(r_patches, descriptor).astype(jnp.uint8)
+
+            # single small host transfer: `count` packed rows
+            with timer.stage(f"octave{octave}/download"):
+                n_rows = int(count)
+                if n_rows == 0:
+                    continue
+                if n_rows > emit_cap:
+                    print(
+                        f"warning: octave {octave} chunk emitted {n_rows} rows, "
+                        f"truncated to {emit_cap}"
+                    )
+                    n_rows = emit_cap
+                out_sets.append(
+                    FeatureSet(
+                        xyz=np.asarray(r_xyz[:n_rows]) * factor,
+                        scale=np.asarray(r_scale[:n_rows]) * factor,
+                        ori=np.asarray(r_ori[:n_rows]),
+                        eigs=np.asarray(r_eigs[:n_rows]),
+                        info=np.asarray(r_info[:n_rows]),
+                        desc=np.asarray(r_desc[:n_rows]).astype(np.float32),
+                    )
+                )
 
     return FeatureSet.concatenate(out_sets)

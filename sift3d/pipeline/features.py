@@ -45,7 +45,7 @@ from sift3d.kernels.patch import (
     PATCH_RAD,
     local_peaks_3d,
     normalize_patches,
-    sample_patches,
+    sample_patches_leveled,
     sphere_mask,
     structure_tensor_eigs,
 )
@@ -179,17 +179,8 @@ def gather_stage(gstack, dogs, lvl, zyx, valid, sigmas: Tuple[float, ...]):
 
     # identity-orientation patch from the Gaussian level matching the
     # center DoG index (fioG0 at generation time, see SURVEY.md 3.2)
-    img_lvl = lvl
     ident = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (lvl.shape[0], 3, 3))
-
-    # sample from each of the 3 possible image levels and select per
-    # candidate (cheaper than per-candidate dynamic level gathers)
-    patches_by_lvl = []
-    for li in (1, 2, 3):
-        patches_by_lvl.append(sample_patches(gstack[li], xyz, scale, ident))
-    stacked = jnp.stack(patches_by_lvl)  # [3, C, 11,11,11]
-    sel = jnp.clip(img_lvl - 1, 0, 2)
-    patches = stacked[sel, jnp.arange(lvl.shape[0])]
+    patches = sample_patches_leveled(gstack, lvl, xyz, scale, ident)
 
     return xyz, scale, keep, patches
 
@@ -221,14 +212,16 @@ def orient_stage(patches, cfg: SiftConfig):
     else:
         eig_keep = s * s * s < cfg.eig_threshold * p
 
-    # gradients of the normalized patch
+    # gradients of the normalized patch, restricted to the static in-sphere
+    # voxel subset (the only ones the reference splats; ~2.6x fewer scatter
+    # points than the full 11^3 grid)
     from sift3d.kernels.patch import patch_gradients
 
     grads = patch_gradients(pn)  # [C, 3(dx,dy,dz), z, y, x]
-    gflat = grads.reshape(c, 3, -1).transpose(0, 2, 1)  # [C, V, (dx,dy,dz)]
-    mag = jnp.sqrt((gflat * gflat).sum(-1))  # [C, V]
-    smask = jnp.asarray(sphere_mask().ravel())
-    wgt = jnp.where(smask[None, :] & (mag > 0), mag, 0.0)
+    sphere_idx = np.nonzero(sphere_mask().ravel())[0]
+    gflat = grads.reshape(c, 3, -1)[:, :, sphere_idx].transpose(0, 2, 1)  # [C, Vs, 3]
+    mag = jnp.sqrt((gflat * gflat).sum(-1))  # [C, Vs]
+    wgt = jnp.where(mag > 0, mag, 0.0)
     e = gflat / jnp.where(mag > 0, mag, 1.0)[..., None]  # unit edges
 
     rad = float(PATCH_RAD)
@@ -288,12 +281,60 @@ def orient_stage(patches, cfg: SiftConfig):
 @jax.jit
 def resample_stage(gstack, xyz, scale, oris, lvl):
     """Sample rotated patches for reoriented features ([C] level indices)."""
-    patches_by_lvl = []
-    for li in (1, 2, 3):
-        patches_by_lvl.append(sample_patches(gstack[li], xyz, scale, oris))
-    stacked = jnp.stack(patches_by_lvl)
-    sel = jnp.clip(lvl - 1, 0, 2)
-    return stacked[sel, jnp.arange(xyz.shape[0])]
+    return sample_patches_leveled(gstack, lvl, xyz, scale, oris)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "emit_cap", "reoriented"))
+def emit_stage(
+    gstack, lvl, xyz, scale, keep, sign, eigs, eig_ori, ori, ori_valid,
+    cfg: SiftConfig, emit_cap: int, reoriented: bool = True,
+):
+    """Device-side feature emission: compact (candidate, orientation) rows.
+
+    Replicates the reference's push order (generateFeature3D,
+    MultiScale.cpp:1705-1862): for each surviving candidate, first the
+    unoriented feature (ori = structure-tensor eigenvectors, REORIENT
+    cleared), then its reoriented copies in (primary, secondary) priority
+    order capped at cfg.max_orientations, each with a freshly resampled
+    rotated patch.
+
+    Everything stays in HBM: the host later downloads only `count` packed
+    rows. Returns (count, xyz, scale, eigs, ori, info, lvl, patches) padded
+    to emit_cap.
+    """
+    from sift3d.core.featureset import INFO_FLAG_MIN0MAX1, INFO_FLAG_REORIENT
+
+    c, k1, k2 = ori_valid.shape
+    s = k1 * k2
+    ovf = ori_valid.reshape(c, s)
+    if not reoriented:
+        ovf = jnp.zeros_like(ovf)
+    rank = jnp.cumsum(ovf.astype(jnp.int32), axis=1) - 1
+    slots = jnp.concatenate(
+        [keep[:, None], keep[:, None] & ovf & (rank < cfg.max_orientations)], axis=1
+    )  # [C, 1+S]
+    flat = slots.ravel()
+    count = flat.sum()
+    idx = jnp.nonzero(flat, size=emit_cap, fill_value=flat.shape[0])[0]
+    row_valid = idx < flat.shape[0]
+    cand = jnp.clip(idx // (1 + s), 0, c - 1)
+    slot = jnp.where(row_valid, idx % (1 + s), 0)
+
+    row_xyz = xyz[cand]
+    row_scale = scale[cand]
+    row_eigs = eigs[cand]
+    row_lvl = lvl[cand]
+    ori_flat = ori.reshape(c, s, 3, 3)
+    slot_ori = ori_flat[cand, jnp.clip(slot - 1, 0)]
+    is_un = (slot == 0)[:, None, None]
+    row_ori = jnp.where(is_un, eig_ori[cand], slot_ori)
+    ident = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), slot_ori.shape)
+    sample_ori = jnp.where(is_un, ident, slot_ori)
+    row_info = jnp.where(sign[cand] > 0, INFO_FLAG_MIN0MAX1, 0).astype(jnp.uint32)
+    row_info = row_info | jnp.where(slot > 0, INFO_FLAG_REORIENT, 0).astype(jnp.uint32)
+
+    patches = sample_patches_leveled(gstack, row_lvl, row_xyz, row_scale, sample_ori)
+    return count, row_xyz, row_scale, row_eigs, row_ori, row_info, patches
 
 
 @functools.partial(jax.jit, static_argnames=("variant", "method"))
