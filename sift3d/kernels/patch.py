@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from sift3d.kernels.resample import trilinear_sample
@@ -119,6 +120,8 @@ def sample_patches_leveled(
     iz, wz = _interp_coord(z, zd)
     li = lvl[:, None]
 
+    # 8 element gathers (one per trilinear corner): measured faster on TPU
+    # than a single lax.gather of (1,2,2,2) blocks, which lowers poorly
     def g(dz, dy, dx):
         return gstack[li, iz + dz, iy + dy, ix + dx]
 

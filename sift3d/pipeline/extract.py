@@ -39,6 +39,18 @@ def _pad_to(arr: np.ndarray, n: int, fill=0):
     return np.concatenate([arr, pad], axis=0)
 
 
+def _bucket(n: int, cap: int) -> int:
+    """Smallest power-of-4 shape bucket >= n (bounded by cap).
+
+    Bucketing bounds the number of distinct compiled shapes while keeping
+    padded-capacity waste under 4x.
+    """
+    b = 64
+    while b < n and b < cap:
+        b *= 4
+    return min(b, cap)
+
+
 @functools.partial(jax.jit, static_argnames=("size",))
 def _compact_mask(mask: jnp.ndarray, size: int):
     """Device-side extrema compaction: flat indices + signs + total count.
@@ -54,24 +66,28 @@ def _compact_mask(mask: jnp.ndarray, size: int):
     return idx, sign, total
 
 
-def _extract_candidates(res_mask, cap: int):
-    """Returns (lvl0, zs, ys, xs, signs) numpy arrays from the device mask."""
-    nl, zd, yd, xd = res_mask.shape
-    size = min(cap, nl * zd * yd * xd)
-    idx_d, sign_d, total_d = _compact_mask(res_mask, size)
-    total = int(total_d)  # tiny blocking transfer
+def _decode_candidates(mask_shape, idx_d, sign_d, total: int, size: int, res_mask):
+    """Download `total` compacted entries and decode to (lvl0, z, y, x, sign)."""
+    nl, zd, yd, xd = mask_shape
     if total > size:
         # overflow (extremely textured volume): full fallback transfer
         mask = np.asarray(res_mask)
         lvls0, zs, ys, xs = np.nonzero(mask)
         return lvls0, zs, ys, xs, mask[lvls0, zs, ys, xs].astype(np.int32)
-    # download exactly `total` entries (device slice keeps the wire small)
     idx = np.asarray(idx_d[:total])
     sign = np.asarray(sign_d[:total]).astype(np.int32)
     lvls0, rem = np.divmod(idx, zd * yd * xd)
     zs, rem = np.divmod(rem, yd * xd)
     ys, xs = np.divmod(rem, xd)
     return lvls0, zs, ys, xs, sign
+
+
+def _extract_candidates(res_mask, cap: int):
+    """Returns (lvl0, zs, ys, xs, signs) numpy arrays from the device mask."""
+    nl, zd, yd, xd = res_mask.shape
+    size = min(cap, nl * zd * yd * xd)
+    idx_d, sign_d, total_d = _compact_mask(res_mask, size)
+    return _decode_candidates(res_mask.shape, idx_d, sign_d, int(total_d), size, res_mask)
 
 
 def extract_features(
@@ -97,14 +113,32 @@ def extract_features(
 
     out_sets = []
     n_oct = pyramid.num_octaves(img.shape, cfg)
+
+    # phase 1: dispatch every octave's pyramid + extrema compaction without
+    # touching the host — the device pipelines all octaves while the host
+    # is still waiting on octave 0's candidate count
+    octave_results = []
+    cand_cap = 8 * cfg.max_candidates_per_level
     for octave in range(n_oct):
         with timer.stage(f"octave{octave}/pyramid"):
             res = pyramid.octave_step(base, cfg)
+            size = min(cand_cap, int(np.prod(res.mask.shape)))
+            compact = _compact_mask(res.mask, size)
+            octave_results.append((res, compact, size))
         base = res.next_base
 
+    # phase 1.5: one host round trip for every octave's candidate count
+    with timer.stage("candidate_counts"):
+        totals = np.asarray(jnp.stack([t for (_, (_, _, t), _) in octave_results]))
+
+    # phase 2: decode candidates and dispatch the whole feature stage for
+    # every chunk of every octave without waiting on any result
+    chunk = cfg.feature_chunk
+    pending = []  # (octave, emit_cap, count_handle, field handles...)
+    for octave, (res, (idx_d, sign_d, _), size) in enumerate(octave_results):
         with timer.stage(f"octave{octave}/candidates"):
-            lvls0, zs, ys, xs, signs = _extract_candidates(
-                res.mask, 8 * cfg.max_candidates_per_level
+            lvls0, zs, ys, xs, signs = _decode_candidates(
+                res.mask.shape, idx_d, sign_d, int(totals[octave]), size, res.mask
             )
             if lvls0.size == 0:
                 continue
@@ -121,58 +155,74 @@ def extract_features(
             )
 
         n_cand = dog_lvl.shape[0]
-        chunk = cfg.feature_chunk
-        factor = float(2.0**octave)
         for start in range(0, n_cand, chunk):
             end = min(start + chunk, n_cand)
-            c_lvl = _pad_to(dog_lvl[start:end], chunk, fill=1)
+            # pad to the smallest shape bucket: padded capacity is wasted
+            # compute, and most octaves carry far fewer candidates than
+            # feature_chunk
+            cap = _bucket(end - start, chunk)
+            c_lvl = _pad_to(dog_lvl[start:end], cap, fill=1)
             c_zyx = _pad_to(
-                np.stack([zs[start:end], ys[start:end], xs[start:end]], axis=1), chunk, fill=1
+                np.stack([zs[start:end], ys[start:end], xs[start:end]], axis=1), cap, fill=1
             )
-            c_sign = _pad_to(signs[start:end], chunk, fill=0)
-            c_valid = np.zeros((chunk,), dtype=bool)
+            c_sign = _pad_to(signs[start:end], cap, fill=0)
+            c_valid = np.zeros((cap,), dtype=bool)
             c_valid[: end - start] = True
 
             c_lvl_d = jnp.asarray(c_lvl)
             c_sign_d = jnp.asarray(c_sign)
-            with timer.stage(f"octave{octave}/gather"):
+            with timer.stage(f"octave{octave}/dispatch"):
                 xyz, scale, keep, patches = fstage.gather_stage(
                     res.gstack, res.dogs, c_lvl_d, jnp.asarray(c_zyx),
                     jnp.asarray(c_valid), sigmas,
                 )
-            with timer.stage(f"octave{octave}/orient"):
                 o = fstage.orient_stage(patches, cfg)
-            with timer.stage(f"octave{octave}/emit"):
-                emit_cap = 4 * chunk
-                count, r_xyz, r_scale, r_eigs, r_ori, r_info, r_patches = fstage.emit_stage(
-                    res.gstack, c_lvl_d, xyz, scale,
-                    keep & o["eig_keep"], c_sign_d,
+                keep_rows = keep & o["eig_keep"]
+                count = fstage.emit_count_stage(keep_rows, o["ori_valid"], cfg, reoriented)
+                emit_args = (
+                    res.gstack, c_lvl_d, xyz, scale, keep_rows, c_sign_d,
                     o["eigs"], o["eig_ori"], o["ori"], o["ori_valid"],
-                    cfg, emit_cap, reoriented,
                 )
-            with timer.stage(f"octave{octave}/descriptor"):
-                r_desc = fstage.descriptor_stage(r_patches, descriptor).astype(jnp.uint8)
+            pending.append(dict(octave=octave, count=count, emit_args=emit_args))
 
-            # single small host transfer: `count` packed rows
-            with timer.stage(f"octave{octave}/download"):
-                n_rows = int(count)
-                if n_rows == 0:
-                    continue
-                if n_rows > emit_cap:
-                    print(
-                        f"warning: octave {octave} chunk emitted {n_rows} rows, "
-                        f"truncated to {emit_cap}"
-                    )
-                    n_rows = emit_cap
-                out_sets.append(
-                    FeatureSet(
-                        xyz=np.asarray(r_xyz[:n_rows]) * factor,
-                        scale=np.asarray(r_scale[:n_rows]) * factor,
-                        ori=np.asarray(r_ori[:n_rows]),
-                        eigs=np.asarray(r_eigs[:n_rows]),
-                        info=np.asarray(r_info[:n_rows]),
-                        desc=np.asarray(r_desc[:n_rows]).astype(np.float32),
-                    )
-                )
+    if not pending:
+        return FeatureSet.empty(0)
 
-    return FeatureSet.concatenate(out_sets)
+    # phase 2b: one sync for all chunk row counts, then dispatch emission +
+    # descriptors at exactly-bucketed capacities
+    with timer.stage("row_counts"):
+        counts = np.asarray(jnp.stack([p["count"] for p in pending])).astype(np.int64)
+    pending = [p for p, n in zip(pending, counts) if n > 0]
+    counts = counts[counts > 0]
+    for p, n_rows in zip(pending, counts):
+        p["emit_cap"] = _bucket(int(n_rows), 16 * chunk)
+        _, packed, r_patches = fstage.emit_stage(*p["emit_args"], cfg, p["emit_cap"], reoriented)
+        p["packed"] = packed
+        p["desc"] = fstage.descriptor_stage(r_patches, descriptor).astype(jnp.uint8)
+
+    if not pending:
+        return FeatureSet.empty(0)
+
+    with timer.stage("download"):
+        host = jax.device_get([p["packed"] for p in pending] + [p["desc"] for p in pending])
+        packed_np = host[: len(pending)]
+        desc_np = host[len(pending) :]
+
+    rows = [min(int(n), p["emit_cap"]) for p, n in zip(pending, counts)]
+    sets = []
+    for p, buf, dsc, n in zip(pending, packed_np, desc_np, rows):
+        if n == 0:
+            continue
+        buf = buf[:n]
+        factor = np.float32(2.0 ** p["octave"])  # octave scaling (MultiScale.cpp:531-543)
+        sets.append(
+            FeatureSet(
+                xyz=buf[:, 0:3] * factor,
+                scale=buf[:, 3] * factor,
+                eigs=buf[:, 4:7],
+                ori=buf[:, 7:16].reshape(-1, 3, 3),
+                info=buf[:, 16].astype(np.uint32),
+                desc=dsc[:n].astype(np.float32),
+            )
+        )
+    return FeatureSet.concatenate(sets)

@@ -284,6 +284,21 @@ def resample_stage(gstack, xyz, scale, oris, lvl):
     return sample_patches_leveled(gstack, lvl, xyz, scale, oris)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "reoriented"))
+def emit_count_stage(keep, ori_valid, cfg: SiftConfig, reoriented: bool = True):
+    """Number of feature rows the chunk will emit (tiny, read synchronously
+    so the packing stage can run at the smallest sufficient capacity)."""
+    c, k1, k2 = ori_valid.shape
+    ovf = ori_valid.reshape(c, k1 * k2)
+    if not reoriented:
+        ovf = jnp.zeros_like(ovf)
+    rank = jnp.cumsum(ovf.astype(jnp.int32), axis=1) - 1
+    slots = jnp.concatenate(
+        [keep[:, None], keep[:, None] & ovf & (rank < cfg.max_orientations)], axis=1
+    )
+    return slots.sum()
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "emit_cap", "reoriented"))
 def emit_stage(
     gstack, lvl, xyz, scale, keep, sign, eigs, eig_ori, ori, ori_valid,
@@ -334,7 +349,20 @@ def emit_stage(
     row_info = row_info | jnp.where(slot > 0, INFO_FLAG_REORIENT, 0).astype(jnp.uint32)
 
     patches = sample_patches_leveled(gstack, row_lvl, row_xyz, row_scale, sample_ori)
-    return count, row_xyz, row_scale, row_eigs, row_ori, row_info, patches
+    # pack the scalar fields into one static-shape buffer so the host can
+    # fetch each chunk with a single transfer: columns =
+    # [x, y, z, scale, eigs*3, ori*9, info] (info values fit exactly in f32)
+    packed = jnp.concatenate(
+        [
+            row_xyz,
+            row_scale[:, None],
+            row_eigs,
+            row_ori.reshape(-1, 9),
+            row_info.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+    return count, packed, patches
 
 
 @functools.partial(jax.jit, static_argnames=("variant", "method"))
