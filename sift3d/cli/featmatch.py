@@ -33,12 +33,12 @@ from sift3d.match.pairwise import match_keys
 from sift3d.utils.textfile import read_lines
 
 
-def match_all_to_one(names, feature_sets, out_report="report.txt", cfg=DEFAULT_CONFIG):
+def match_all_to_one(names, feature_sets, out_report="report.txt", cfg=DEFAULT_CONFIG, refine=False):
     """Pairwise registration of every image to image 0
     (featMatchMultiple.cpp:147-395)."""
     for i in range(1, len(feature_sets)):
         f1, f2 = feature_sets[0], feature_sets[i]
-        res = match_keys(f1, f2, cfg)
+        res = match_keys(f1, f2, cfg, refine=refine)
         ts = res.transform
 
         matches = [
@@ -92,6 +92,7 @@ def main(argv=None) -> int:
     neighbors = 5
     file_list = None
     all_to_all = False
+    refine = False
     geometry_weight = -1.0
     i = 0
     while i < len(argv) and argv[i].startswith("-"):
@@ -111,6 +112,8 @@ def main(argv=None) -> int:
             file_list = argv[i]
         elif a == "--all-to-all":
             all_to_all = True
+        elif a == "--refine":
+            refine = True
         else:
             print(f"Error: unknown command line argument: {a}")
             return -1
@@ -156,10 +159,10 @@ def main(argv=None) -> int:
             f.write(f"{j}\t{len(s)}\n")
 
     open(report, "wt").close()
-    match_all_to_one(names, sets, report, cfg)
+    match_all_to_one(names, sets, report, cfg, refine)
     if peaks_mode == 2:
-        match_all_to_one(names, split_sets[0], report, cfg)
-        match_all_to_one(names, split_sets[1], report, cfg)
+        match_all_to_one(names, split_sets[0], report, cfg, refine)
+        match_all_to_one(names, split_sets[1], report, cfg, refine)
 
     if all_to_all:
         gm = groupvote.GroupMatcher(sets, labels, geometry_weight, cfg)

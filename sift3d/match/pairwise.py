@@ -104,6 +104,7 @@ def match_keys(
     feats1: FeatureSet,
     feats2: FeatureSet,
     cfg: SiftConfig = DEFAULT_CONFIG,
+    refine: bool = False,
 ) -> MatchResult:
     """MatchKeys (featMatchUtilities.cpp:1027-1260): ratio-sorted matches
     capped at max_matches, then Hough similarity voting. feats2 is the
@@ -155,6 +156,24 @@ def match_keys(
     # convert rotation-about-point to rotation-about-origin translation
     trans = center1 - scale * (rot @ center0)
     ts = SimilarityTransform(scale=float(scale), rot=rot, trans=trans)
+
+    if refine and best["inliers"].sum() >= 4:
+        # weighted least-squares (Umeyama) over the Hough inliers — a
+        # refinement step the reference lacks (it keeps the single winning
+        # hypothesis); markedly tightens the transform on noisy data
+        import jax.numpy as jnp
+
+        from sift3d.dist.solve import solve_similarity
+
+        inl = best["inliers"]
+        s, r, t = solve_similarity(
+            jnp.asarray(feats2.xyz[model_idx[inl]]),
+            jnp.asarray(feats1.xyz[input_idx[inl]]),
+            jnp.ones(int(inl.sum()), jnp.float32),
+        )
+        ts = SimilarityTransform(
+            scale=float(s), rot=np.asarray(r, np.float64), trans=np.asarray(t, np.float64)
+        )
 
     return MatchResult(
         model_idx=model_idx,

@@ -66,16 +66,16 @@ def _compact_mask(mask: jnp.ndarray, size: int):
     return idx, sign, total
 
 
-def _decode_candidates(mask_shape, idx_d, sign_d, total: int, size: int, res_mask):
-    """Download `total` compacted entries and decode to (lvl0, z, y, x, sign)."""
+def _decode_candidates_np(mask_shape, idx, sign, total: int, size: int, res_mask):
+    """Decode already-downloaded compacted entries to (lvl0, z, y, x, sign)."""
     nl, zd, yd, xd = mask_shape
     if total > size:
         # overflow (extremely textured volume): full fallback transfer
         mask = np.asarray(res_mask)
         lvls0, zs, ys, xs = np.nonzero(mask)
         return lvls0, zs, ys, xs, mask[lvls0, zs, ys, xs].astype(np.int32)
-    idx = np.asarray(idx_d[:total])
-    sign = np.asarray(sign_d[:total]).astype(np.int32)
+    idx = np.asarray(idx[:total])
+    sign = np.asarray(sign[:total]).astype(np.int32)
     lvls0, rem = np.divmod(idx, zd * yd * xd)
     zs, rem = np.divmod(rem, yd * xd)
     ys, xs = np.divmod(rem, xd)
@@ -87,7 +87,9 @@ def _extract_candidates(res_mask, cap: int):
     nl, zd, yd, xd = res_mask.shape
     size = min(cap, nl * zd * yd * xd)
     idx_d, sign_d, total_d = _compact_mask(res_mask, size)
-    return _decode_candidates(res_mask.shape, idx_d, sign_d, int(total_d), size, res_mask)
+    return _decode_candidates_np(
+        res_mask.shape, np.asarray(idx_d), np.asarray(sign_d), int(total_d), size, res_mask
+    )
 
 
 def extract_features(
@@ -127,18 +129,27 @@ def extract_features(
             octave_results.append((res, compact, size))
         base = res.next_base
 
-    # phase 1.5: one host round trip for every octave's candidate count
+    # phase 1.5: one host round trip for every octave's candidate count,
+    # then one batched device_get for all (padded, static-shape) index and
+    # sign arrays — per-octave RTTs collapse into two
     with timer.stage("candidate_counts"):
         totals = np.asarray(jnp.stack([t for (_, (_, _, t), _) in octave_results]))
+    with timer.stage("candidate_download"):
+        host = jax.device_get(
+            [c[0] for (_, c, _) in octave_results] + [c[1] for (_, c, _) in octave_results]
+        )
+        idx_np = host[: len(octave_results)]
+        sign_np = host[len(octave_results) :]
 
     # phase 2: decode candidates and dispatch the whole feature stage for
     # every chunk of every octave without waiting on any result
     chunk = cfg.feature_chunk
     pending = []  # (octave, emit_cap, count_handle, field handles...)
-    for octave, (res, (idx_d, sign_d, _), size) in enumerate(octave_results):
+    for octave, (res, _, size) in enumerate(octave_results):
         with timer.stage(f"octave{octave}/candidates"):
-            lvls0, zs, ys, xs, signs = _decode_candidates(
-                res.mask.shape, idx_d, sign_d, int(totals[octave]), size, res.mask
+            lvls0, zs, ys, xs, signs = _decode_candidates_np(
+                res.mask.shape, idx_np[octave], sign_np[octave], int(totals[octave]), size,
+                res.mask,
             )
             if lvls0.size == 0:
                 continue
