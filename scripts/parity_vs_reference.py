@@ -45,15 +45,18 @@ def synthetic_volume(dims=64, seed=3):
     vol += 300.0 * np.exp(-2.0 * r2)
     for _ in range(max(6, dims // 4)):
         bc = rng.uniform(0.2, 0.8, 3) * dims
-        s = rng.uniform(2.0, 5.0)
+        # blob size tracks volume size so halving (-2-) stays detectable
+        s = rng.uniform(2.0, 5.0) * max(1.0, dims / 64.0)
         a = rng.uniform(-150, 250)
         m2 = (z - bc[0]) ** 2 + (y - bc[1]) ** 2 + (x - bc[2]) ** 2
         vol += a * np.exp(-m2 / (2 * s * s))
     return vol.astype(np.float32)
 
 
-def run_reference(ref_bin, vol_path, out_path):
-    r = subprocess.run([ref_bin, vol_path, out_path], capture_output=True, text=True, timeout=1800)
+def run_reference(ref_bin, vol_path, out_path, flags=()):
+    r = subprocess.run(
+        [ref_bin, *flags, vol_path, out_path], capture_output=True, text=True, timeout=1800
+    )
     if r.returncode != 0:
         print(r.stdout[-2000:], r.stderr[-2000:])
         raise RuntimeError(f"reference binary failed rc={r.returncode}")
@@ -76,6 +79,9 @@ def main():
     ap.add_argument("--dims", type=int, default=64)
     ap.add_argument("--ref", default=None)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--flags", default="", help="featExtract flags passed to BOTH sides (e.g. '-2-' or '-w')"
+    )
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="sift3d_parity_")
@@ -91,19 +97,20 @@ def main():
     vol_path = os.path.join(tmp, "vol.nii")
     nifti.write(vol_path, vol, voxel_size=(1.0, 1.0, 1.0))
 
+    flags = [f for f in args.flags.split() if f]
     ref_key = os.path.join(tmp, "ref.key")
-    print(f"running reference binary on {args.dims}^3 volume ...")
-    run_reference(ref_bin, vol_path, ref_key)
+    print(f"running reference binary on {args.dims}^3 volume {flags} ...")
+    run_reference(ref_bin, vol_path, ref_key, flags)
     ref_feats, _ = keyfile.read_text(ref_key)
 
-    print("running sift3d ...")
-    from sift3d.core.config import DEFAULT_CONFIG
-    from sift3d.pipeline.extract import extract_features
+    print("running sift3d CLI ...")
+    from sift3d.cli import featextract as fe_cli
 
-    ours = extract_features(vol, DEFAULT_CONFIG)
-    ours = ours.apply_eig_threshold(DEFAULT_CONFIG.eig_threshold)
     ours_key = os.path.join(tmp, "ours.key")
-    keyfile.write_text(ours, ours_key, eig_threshold=DEFAULT_CONFIG.eig_threshold)
+    rc = fe_cli.main([*flags, vol_path, ours_key])
+    if rc != 0:
+        raise RuntimeError(f"sift3d CLI failed rc={rc}")
+    ours, _ = keyfile.read_text(ours_key)
 
     # compare unoriented keypoint geometry (one per detected extremum)
     ru = ref_feats.select(~ref_feats.is_reoriented)

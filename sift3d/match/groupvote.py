@@ -86,7 +86,83 @@ class GroupMatcher:
         self.total_prior_denom = float(len(self.feat_img) + self.n_labels)
 
     def search_image(self, img_idx: int, knn_dists=None, knn_idx=None) -> GroupVoteResult:
-        """SearchSelf for one image; returns its vote/count/LL rows."""
+        """SearchSelf for one image; returns its vote/count/LL rows.
+
+        Vectorized implementation; `_search_image_loop` below is the
+        direct line-by-line port kept as the oracle for tests.
+        """
+        cfg = self.cfg
+        k = min(cfg.knn_neighbors, len(self.feat_img))
+        lo, hi = self.img_start[img_idx], self.img_idx_end(img_idx)
+        queries = self.db[lo:hi]
+        if knn_dists is None:
+            import jax.numpy as jnp
+
+            knn_dists, knn_idx = knn_search_tiled(queries, jnp.asarray(self.db), k)
+        idx = np.asarray(knn_idx)[:, :k]
+        dist = np.asarray(knn_dists)[:, :k].astype(np.float64)
+        q = idx.shape[0]
+        if q == 0 or k == 0:
+            z = np.zeros((1, self.n_labels))
+            return GroupVoteResult(z.copy(), z.astype(np.int64), z.copy())
+
+        img = self.feat_img[idx]  # [Q, k]
+        lab = self.feat_label[idx]
+        own = img == img_idx
+        # one vote per target image, ascending-distance order: drop j if any
+        # earlier accepted j' hits the same image (k is tiny: k^2 compare)
+        acc = ~own
+        for j in range(1, k):
+            dup = np.zeros(q, bool)
+            for jp in range(j):
+                dup |= acc[:, jp] & (img[:, jp] == img[:, j])
+            acc[:, j] &= ~dup
+
+        dpos = np.where(acc & (dist > 0), dist, np.inf)
+        min_dist = dpos.min(axis=1)
+        min_dist = np.where(np.isfinite(min_dist), min_dist, 1.0)  # (:1697 fallback)
+
+        w = np.where(acc, np.exp(-((dist / min_dist[:, None]) ** 2)), 0.0)
+        sw = w.sum(axis=1)
+        ok = sw > 0
+        wn = np.zeros_like(w)
+        wn[ok] = np.log(w[ok] / sw[ok, None] + cfg.softvote_eta) / np.log(cfg.softvote_eta + 1.0)
+
+        # leave-one-image-out prior (:1597-1599)
+        img_label = int(self.labels[img_idx])
+        prior = self.label_prior.copy()
+        prior[img_label] -= (hi - lo) / self.total_prior_denom
+
+        use = acc & ok[:, None]
+        fi = idx[use]
+        wv = wn[use]
+        lv = lab[use]
+        votes = np.zeros(self.n_labels, np.float64)
+        counts = np.zeros(self.n_labels, np.int64)
+        if fi.size:
+            # best-vote-wins dedup per db feature (:1764-1786)
+            uniq, inv = np.unique(fi, return_inverse=True)
+            maxw = np.full(uniq.shape, -np.inf)
+            np.maximum.at(maxw, inv, wv)
+            ulab = self.feat_label[uniq]
+            np.add.at(votes, ulab, maxw)
+            np.add.at(counts, ulab, 1)
+
+        # per-query label log-likelihood (:1767-1809)
+        ll = np.zeros(self.n_labels, np.float64)
+        qsel = np.nonzero(ok)[0]
+        if qsel.size:
+            expo = dist / (min_dist[:, None] + 1.0)
+            contrib = np.where(use, np.exp(-(expo**2)), 0.0) / prior[lab]
+            lcounts = np.tile(prior, (len(qsel), 1))
+            np.add.at(lcounts, (np.repeat(np.arange(len(qsel)), k), lab[qsel].ravel()),
+                      contrib[qsel].ravel())
+            ll = np.log(lcounts / lcounts.sum(axis=1, keepdims=True)).sum(axis=0)
+
+        return GroupVoteResult(votes=votes[None], counts=counts[None], log_likelihood=ll[None])
+
+    def _search_image_loop(self, img_idx: int, knn_dists=None, knn_idx=None) -> GroupVoteResult:
+        """Line-by-line port of msNearestNeighborApproximateSearchSelf (oracle)."""
         cfg = self.cfg
         k = min(cfg.knn_neighbors, len(self.feat_img))
         lo, hi = self.img_start[img_idx], self.img_idx_end(img_idx)

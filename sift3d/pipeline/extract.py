@@ -187,19 +187,40 @@ def extract_features(
                     res.gstack, res.dogs, c_lvl_d, jnp.asarray(c_zyx),
                     jnp.asarray(c_valid), sigmas,
                 )
-                o = fstage.orient_stage(patches, cfg)
-                keep_rows = keep & o["eig_keep"]
-                count = fstage.emit_count_stage(keep_rows, o["ori_valid"], cfg, reoriented)
-                emit_args = (
-                    res.gstack, c_lvl_d, xyz, scale, keep_rows, c_sign_d,
-                    o["eigs"], o["eig_ori"], o["ori"], o["ori_valid"],
+                pn, eigs, eig_ori, eig_keep = fstage.eig_stage(patches, cfg)
+                keep_rows = keep & eig_keep
+            pending.append(
+                dict(
+                    octave=octave, gstack=res.gstack, kept=keep_rows.sum(),
+                    keep_rows=keep_rows, pn=pn, eigs=eigs, eig_ori=eig_ori,
+                    xyz=xyz, scale=scale, lvl=c_lvl_d, sign=c_sign_d,
                 )
-            pending.append(dict(octave=octave, count=count, emit_args=emit_args))
+            )
 
     if not pending:
         return FeatureSet.empty(0)
 
-    # phase 2b: one sync for all chunk row counts, then dispatch emission +
+    # phase 2b: one sync for all chunk survivor counts, then run the
+    # expensive canonical-orientation histograms only on survivors
+    with timer.stage("kept_counts"):
+        kepts = np.asarray(jnp.stack([p["kept"] for p in pending])).astype(np.int64)
+    pending = [p for p, k in zip(pending, kepts) if k > 0]
+    kepts = kepts[kepts > 0]
+    for p, kept in zip(pending, kepts):
+        kb = _bucket(int(kept), chunk)
+        kidx, kvalid = fstage.compact_stage(p["keep_rows"], kb)
+        o = fstage.canonical_stage(p["pn"][kidx], cfg)
+        p["count"] = fstage.emit_count_stage(kvalid, o["ori_valid"], cfg, reoriented)
+        p["emit_args"] = (
+            p["gstack"], p["lvl"][kidx], p["xyz"][kidx], p["scale"][kidx], kvalid,
+            p["sign"][kidx], p["eigs"][kidx], p["eig_ori"][kidx],
+            o["ori"], o["ori_valid"],
+        )
+
+    if not pending:
+        return FeatureSet.empty(0)
+
+    # phase 2c: one sync for all chunk row counts, then dispatch emission +
     # descriptors at exactly-bucketed capacities
     with timer.stage("row_counts"):
         counts = np.asarray(jnp.stack([p["count"] for p in pending])).astype(np.int64)

@@ -191,17 +191,14 @@ def gather_stage(gstack, dogs, lvl, zyx, valid, sigmas: Tuple[float, ...]):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def orient_stage(patches, cfg: SiftConfig):
-    """Normalize, eigen-orient, eig-test, canonical orientations.
+def eig_stage(patches, cfg: SiftConfig):
+    """Normalize + structure-tensor eigendecomposition + edge rejection.
 
-    Returns dict with: patches_norm [C,...], eigs [C,3], eig_ori [C,3,3]
-    (eigenvectors in columns), eig_keep [C], ori [C,K1,K2,3,3] (rows =
-    P1/P2/P3), ori_valid [C,K1,K2].
+    The cheap front half of orientation assignment, run for every
+    candidate; the expensive histogram half (canonical_stage) runs only on
+    survivors. Returns (patches_norm, eigs, eig_ori, eig_keep).
     """
-    k1 = cfg.max_primary_orientations
-    k2 = cfg.max_secondary_orientations
     c = patches.shape[0]
-
     pn = normalize_patches(patches)
     eigs, eig_ori = structure_tensor_eigs(pn)
     s = eigs.sum(axis=1)
@@ -211,6 +208,28 @@ def orient_stage(patches, cfg: SiftConfig):
         eig_keep = jnp.ones((c,), dtype=bool)
     else:
         eig_keep = s * s * s < cfg.eig_threshold * p
+    return pn, eigs, eig_ori, eig_keep
+
+
+@functools.partial(jax.jit, static_argnames=("kbucket",))
+def compact_stage(keep_rows, kbucket: int):
+    """Indices of kept candidates, padded to kbucket (+ validity)."""
+    c = keep_rows.shape[0]
+    kidx = jnp.nonzero(keep_rows, size=kbucket, fill_value=c)[0]
+    valid = kidx < c
+    return jnp.clip(kidx, 0, c - 1), valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def canonical_stage(pn, cfg: SiftConfig):
+    """Canonical orientation histograms for (already normalized) patches.
+
+    Returns dict with ori [C,K1,K2,3,3] (rows = P1/P2/P3) and
+    ori_valid [C,K1,K2].
+    """
+    k1 = cfg.max_primary_orientations
+    k2 = cfg.max_secondary_orientations
+    c = pn.shape[0]
 
     # gradients of the normalized patch, restricted to the static in-sphere
     # voxel subset (the only ones the reference splats; ~2.6x fewer scatter
@@ -263,13 +282,21 @@ def orient_stage(patches, cfg: SiftConfig):
             ori = ori.at[:, s1, s2].set(mat)
             ori_valid = ori_valid.at[:, s1, s2].set(valid1[:, s1] & valid2[:, s2])
 
+    return dict(ori=ori, ori_valid=ori_valid)
+
+
+def orient_stage(patches, cfg: SiftConfig):
+    """Full orientation stage (eig + canonical) for every candidate.
+
+    Convenience wrapper used by tests; the pipeline runs eig_stage /
+    compact_stage / canonical_stage so the histogram work only touches
+    surviving candidates.
+    """
+    pn, eigs, eig_ori, eig_keep = eig_stage(patches, cfg)
+    o = canonical_stage(pn, cfg)
     return dict(
-        patches_norm=pn,
-        eigs=eigs,
-        eig_ori=eig_ori,
-        eig_keep=eig_keep,
-        ori=ori,
-        ori_valid=ori_valid,
+        patches_norm=pn, eigs=eigs, eig_ori=eig_ori, eig_keep=eig_keep,
+        ori=o["ori"], ori_valid=o["ori_valid"],
     )
 
 

@@ -134,3 +134,18 @@ def test_write_vote_files(tmp_path, rng):
     lines = open(vp).read().splitlines()
     assert lines[0] == "Peak and Valley"
     assert len(lines[1].split("\t")[:-1]) == 2
+
+
+def test_group_vote_vectorized_matches_loop_oracle(rng):
+    """The vectorized SearchSelf must equal the line-by-line reference port."""
+    sets = [_random_feats(15, rng) for _ in range(4)]
+    # inject some cross-image descriptor similarity
+    sets[1].desc[:5] = sets[0].desc[:5] + rng.normal(0, 0.05, (5, 64)).astype(np.float32)
+    sets[2].desc[:3] = sets[0].desc[:3]
+    gm = groupvote.GroupMatcher(sets)
+    for i in range(4):
+        fast = gm.search_image(i)
+        slow = gm._search_image_loop(i)
+        np.testing.assert_allclose(fast.votes, slow.votes, rtol=1e-10)
+        np.testing.assert_array_equal(fast.counts, slow.counts)
+        np.testing.assert_allclose(fast.log_likelihood, slow.log_likelihood, rtol=1e-8)
