@@ -1,0 +1,71 @@
+"""Volume-batch data-parallel scaling measurement.
+
+Measures the dense pyramid (the dominant extraction compute) over a batch
+of volumes sharded across N devices, for N in 1..num_devices, and reports
+scaling efficiency. On real pod slices this is the volumes/sec scaling
+headline; on the simulated CPU mesh (default here) the numbers validate
+the sharding structure rather than absolute speed.
+
+Usage:
+    python scripts/bench_scaling.py [--dims 64] [--steps 3] [--tpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dims", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--tpu", action="store_true", help="use the default platform instead of the simulated CPU mesh")
+    args = ap.parse_args()
+
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sift3d.core.config import SiftConfig
+    from sift3d.dist import batch as dbatch
+    from sift3d.dist import mesh as dmesh
+
+    cfg = SiftConfig()
+    n_dev = len(jax.devices())
+    d = args.dims
+    rng = np.random.default_rng(0)
+    results = {}
+    for n in [1, 2, 4, n_dev]:
+        if n > n_dev:
+            continue
+        mesh = dmesh.make_mesh(batch=n, space=1, devices=jax.devices()[:n])
+        vols = jnp.asarray(rng.standard_normal((n, d, d, d)), jnp.float32)
+        vb = jax.device_put(vols, NamedSharding(mesh, P("batch", None, None, None)))
+        bases = dbatch.initial_blur_batch(vb, cfg)
+        res = dbatch.octave_step_batch(bases, cfg)  # compile
+        jax.block_until_ready(res.dogs)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            res = dbatch.octave_step_batch(bases, cfg)
+            jax.block_until_ready(res.dogs)
+        dt = (time.perf_counter() - t0) / args.steps
+        vps = n / dt
+        results[n] = vps
+        eff = vps / (results[1] * n) if 1 in results and n > 1 else 1.0
+        print(f"devices={n:2d}  batch-octave volumes/sec={vps:8.2f}  scaling-efficiency={eff:6.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -208,12 +208,14 @@ def extract_features(
     kepts = kepts[kepts > 0]
     for p, kept in zip(pending, kepts):
         kb = _bucket(int(kept), chunk)
-        kidx, kvalid = fstage.compact_stage(p["keep_rows"], kb)
-        o = fstage.canonical_stage(p["pn"][kidx], cfg)
+        kvalid, pn_k, eigs_k, eig_ori_k, xyz_k, scale_k, lvl_k, sign_k = fstage.select_stage(
+            p["keep_rows"], p["pn"], p["eigs"], p["eig_ori"], p["xyz"], p["scale"],
+            p["lvl"], p["sign"], kb,
+        )
+        o = fstage.canonical_stage(pn_k, cfg)
         p["count"] = fstage.emit_count_stage(kvalid, o["ori_valid"], cfg, reoriented)
         p["emit_args"] = (
-            p["gstack"], p["lvl"][kidx], p["xyz"][kidx], p["scale"][kidx], kvalid,
-            p["sign"][kidx], p["eigs"][kidx], p["eig_ori"][kidx],
+            p["gstack"], lvl_k, xyz_k, scale_k, kvalid, sign_k, eigs_k, eig_ori_k,
             o["ori"], o["ori_valid"],
         )
 

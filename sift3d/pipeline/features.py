@@ -220,6 +220,17 @@ def compact_stage(keep_rows, kbucket: int):
     return jnp.clip(kidx, 0, c - 1), valid
 
 
+@functools.partial(jax.jit, static_argnames=("kbucket",))
+def select_stage(keep_rows, pn, eigs, eig_ori, xyz, scale, lvl, sign, kbucket: int):
+    """Compact all per-candidate arrays down to the survivor set in one
+    program (one compile per shape-bucket combination)."""
+    kidx, kvalid = compact_stage(keep_rows, kbucket)
+    return (
+        kvalid, pn[kidx], eigs[kidx], eig_ori[kidx], xyz[kidx], scale[kidx],
+        lvl[kidx], sign[kidx],
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def canonical_stage(pn, cfg: SiftConfig):
     """Canonical orientation histograms for (already normalized) patches.
