@@ -94,11 +94,12 @@ def _banded_matrix(dim: int, sigma: float, min_value: float) -> np.ndarray:
     return b
 
 
-# Blur matmuls run at full f32 multiply precision: on TPU the default f32
-# einsum uses bf16 MXU passes (~1e-2 error), which perturbs DoG extrema and
-# breaks parity with the f32 reference. HIGHEST costs extra MXU passes but
-# the op stays HBM-bandwidth-bound, so the wall-clock impact is small.
-_BLUR_PRECISION = jax.lax.Precision.HIGHEST
+# Blur matmuls must not run at the TPU default f32 einsum precision (one
+# bf16 MXU pass, ~1e-2 relative error): that perturbs DoG extrema and
+# breaks parity with the f32 reference. HIGH (bf16x3, ~1e-6 relative) is
+# indistinguishable from the reference in keypoint repeatability and
+# descriptor tests while halving MXU passes vs HIGHEST.
+_BLUR_PRECISION = jax.lax.Precision.HIGH
 
 
 def blur_axis(vol: jnp.ndarray, axis: int, sigma: float, min_value: float) -> jnp.ndarray:

@@ -40,14 +40,14 @@ def _pad_to(arr: np.ndarray, n: int, fill=0):
 
 
 def _bucket(n: int, cap: int) -> int:
-    """Smallest power-of-4 shape bucket >= n (bounded by cap).
+    """Smallest power-of-2 shape bucket >= n (bounded by cap).
 
     Bucketing bounds the number of distinct compiled shapes while keeping
-    padded-capacity waste under 4x.
+    padded-capacity waste under 2x.
     """
     b = 64
     while b < n and b < cap:
-        b *= 4
+        b *= 2
     return min(b, cap)
 
 
