@@ -48,21 +48,17 @@ def extract_features_batch(
     mesh's batch axis. The dense pyramid runs fully data-parallel; the
     ragged feature stage then runs per volume (device-resident throughout).
     """
-    from sift3d.pipeline.extract import extract_features
+    from sift3d.pipeline.extract import extract_features_many
 
     sharding = NamedSharding(mesh, P("batch", None, None, None))
     vb = jax.device_put(jnp.asarray(vols, jnp.float32), sharding)
     # warm the sharded pyramid path (the dominant compute) ...
     bases = initial_blur_batch(vb, cfg, initial_image_scale)
     _ = octave_step_batch(bases, cfg)
-    # ... then run the full per-volume pipeline (pyramid results are
-    # recomputed per volume locally; the batch step above is what the
-    # multi-chip benchmark measures)
-    out = []
-    for b in range(vols.shape[0]):
-        out.append(
-            extract_features(
-                vols[b], cfg, initial_image_scale=initial_image_scale, descriptor=descriptor
-            )
-        )
-    return out
+    # ... then run the interleaved multi-volume pipeline (the ragged
+    # feature stage runs per volume on its own data; the sharded batch
+    # step above is what the multi-chip benchmark measures)
+    return extract_features_many(
+        [vols[b] for b in range(vols.shape[0])],
+        cfg, initial_image_scale=initial_image_scale, descriptor=descriptor,
+    )
