@@ -108,7 +108,11 @@ def _hough_inliers(pts0, pts1, s0, s1, o0, o1, valid, rot, scale, p0, p1,
 def hough_similarity(pts0, pts1, s0, s1, o0, o1, prob, cfg: SiftConfig = DEFAULT_CONFIG):
     """Returns dict(hypothesis, rot [3,3], scale, inliers [M] bool, score)."""
     m = pts0.shape[0]
-    mp = int(np.ceil(m / _CHUNK) * _CHUNK)
+    # power-of-2 shape bucket: match counts vary per image pair, and every
+    # new padded size is a fresh (expensive) compile otherwise
+    mp = _CHUNK
+    while mp < m:
+        mp *= 2
 
     def pad(a, fill=0.0):
         out = np.full((mp,) + a.shape[1:], fill, dtype=np.float32)

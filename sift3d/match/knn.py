@@ -38,14 +38,40 @@ def knn_search(queries: jnp.ndarray, db: jnp.ndarray, k: int):
     return -neg, idx
 
 
+def _pow2_bucket(n: int, lo: int = 256) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 def knn_search_tiled(queries, db, k: int, tile: int = 4096):
-    """Host-tiled kNN for query sets too large for one [Q, N] matrix."""
+    """Host-tiled kNN with power-of-2 shape bucketing.
+
+    Feature counts vary per image pair; padding both the query tiles and
+    the database to shape buckets bounds the number of compiled programs
+    (remote compiles dominate otherwise). Padded database rows carry a
+    huge norm so they never reach the top-k (requires k <= real N).
+    """
     import numpy as np
 
     q = np.asarray(queries, dtype=np.float32)
+    dbn = np.asarray(db, dtype=np.float32)
+    n = dbn.shape[0]
+    assert k <= n, "k exceeds database size"
+    np_pad = _pow2_bucket(n)
+    if np_pad != n:
+        pad = np.full((np_pad - n, dbn.shape[1]), 1e18, np.float32)
+        dbn = np.concatenate([dbn, pad])
+    db_d = jnp.asarray(dbn)
+
     outs_d, outs_i = [], []
     for s in range(0, q.shape[0], tile):
-        d, i = knn_search(jnp.asarray(q[s : s + tile]), db, k)
-        outs_d.append(np.asarray(d))
-        outs_i.append(np.asarray(i))
+        block = q[s : s + tile]
+        qb = _pow2_bucket(block.shape[0], lo=min(tile, 256))
+        if qb != block.shape[0]:
+            block = np.concatenate([block, np.zeros((qb - block.shape[0], q.shape[1]), np.float32)])
+        d, i = knn_search(jnp.asarray(block), db_d, k)
+        outs_d.append(np.asarray(d)[: min(tile, q.shape[0] - s)])
+        outs_i.append(np.asarray(i)[: min(tile, q.shape[0] - s)])
     return np.concatenate(outs_d), np.concatenate(outs_i)

@@ -166,11 +166,17 @@ def match_keys(
         from sift3d.dist.solve import solve_similarity
 
         inl = best["inliers"]
-        s, r, t = solve_similarity(
-            jnp.asarray(feats2.xyz[model_idx[inl]]),
-            jnp.asarray(feats1.xyz[input_idx[inl]]),
-            jnp.ones(int(inl.sum()), jnp.float32),
-        )
+        n_in = int(inl.sum())
+        nb = 64
+        while nb < n_in:
+            nb *= 2  # shape bucket: avoid a compile per inlier count
+        p = np.zeros((nb, 3), np.float32)
+        q = np.zeros((nb, 3), np.float32)
+        w = np.zeros((nb,), np.float32)
+        p[:n_in] = feats2.xyz[model_idx[inl]]
+        q[:n_in] = feats1.xyz[input_idx[inl]]
+        w[:n_in] = 1.0
+        s, r, t = solve_similarity(jnp.asarray(p), jnp.asarray(q), jnp.asarray(w))
         ts = SimilarityTransform(
             scale=float(s), rot=np.asarray(r, np.float64), trans=np.asarray(t, np.float64)
         )

@@ -67,7 +67,8 @@ def _splat_histogram(coords_xyz: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarr
 
     coords_xyz: [C, V, 3] continuous (x, y, z); weights: [C, V].
     Port of the fioIncPixelTrilinearInterp splat loop
-    (MultiScale.cpp:2780-2820) over a batch.
+    (MultiScale.cpp:2780-2820) over a batch. Kept as the oracle for
+    _smooth_histogram (the MXU formulation used in the pipeline).
     """
     from sift3d.kernels.resample import trilinear_splat_weights
 
@@ -80,6 +81,59 @@ def _splat_histogram(coords_xyz: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarr
     hist = jnp.zeros((c, _HIST_BINS), dtype=weights.dtype)
     hist = hist.at[batch, flat].add(w * weights[..., None])
     return hist.reshape(c, PATCH_DIM, PATCH_DIM, PATCH_DIM)
+
+
+def _axis_factors(u: jnp.ndarray, blur_taps: jnp.ndarray) -> jnp.ndarray:
+    """Per-axis blurred splat factors A[..., bin] for coordinates u.
+
+    Trilinear splat is separable per axis (two adjacent bins with linear
+    weights, reference border saturation), and the subsequent zero-padded
+    Gaussian blur is separable too — so (splat + blur) factorizes exactly
+    into per-axis [point, 11] matrices contracted on the MXU. This turns
+    the orientation histogram, otherwise a TPU-hostile scatter, into
+    matmuls.
+    """
+    from sift3d.kernels.resample import _interp_coord
+
+    i0, w0 = _interp_coord(u, PATCH_DIM)  # bin i0 gets w0, i0+1 gets 1-w0
+    bins = jnp.arange(PATCH_DIM)
+    shape = u.shape + (PATCH_DIM,)
+    a = jnp.zeros(shape, u.dtype)
+    a = a + w0[..., None] * (bins == i0[..., None])
+    a = a + (1.0 - w0)[..., None] * (bins == (i0 + 1)[..., None])
+    # zero-padded 1D blur along the bin axis (banded matrix of taps)
+    r = len(blur_taps) // 2
+    b = np.zeros((PATCH_DIM, PATCH_DIM), np.float32)
+    taps = np.asarray(blur_taps, np.float32)
+    for o in range(PATCH_DIM):
+        lo, hi = max(0, o - r), min(PATCH_DIM, o + r + 1)
+        b[lo:hi, o] = taps[lo - o + r : hi - o + r]
+    return a @ jnp.asarray(b)
+
+
+def _smooth_histogram(coords_xyz: jnp.ndarray, weights: jnp.ndarray, blur_sigma: float) -> jnp.ndarray:
+    """Blurred 11^3 orientation histogram as separable MXU contractions.
+
+    Bit-equivalent (up to fp reduction order) to
+    blur3d(_splat_histogram(...), blur_sigma) with zero borders.
+    """
+    from sift3d.kernels.gauss import gaussian_kernel_1d
+
+    taps = gaussian_kernel_1d(blur_sigma, 0.01)
+    ax = _axis_factors(coords_xyz[..., 0], taps)  # [C, V, 11]
+    ay = _axis_factors(coords_xyz[..., 1], taps)
+    az = _axis_factors(coords_xyz[..., 2], taps)
+    wz = weights[..., None] * az  # [C, V, 11]
+    # contract per z-slice to bound the [C, V, 11, 11] intermediate
+    slices = []
+    for z in range(PATCH_DIM):
+        slices.append(
+            jnp.einsum(
+                "cv,cvy,cvx->cyx", wz[..., z], ay, ax,
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return jnp.stack(slices, axis=1)  # [C, 11(z), 11(y), 11(x)]
 
 
 def _interp_hist_peaks(hist: jnp.ndarray, pz, py, px) -> jnp.ndarray:
@@ -257,9 +311,7 @@ def canonical_stage(pn, cfg: SiftConfig):
     rad = float(PATCH_RAD)
     # primary histogram: splat at e*rad + rad (+0.5) (MultiScale.cpp:2805-2816)
     coords1 = e * rad + rad + 0.5
-    hist1 = gauss.blur3d_batched(
-        _splat_histogram(coords1, wgt), cfg.ori_hist_blur_sigma, 0.01
-    )
+    hist1 = _smooth_histogram(coords1, wgt, cfg.ori_hist_blur_sigma)
     v1, pz1, py1, px1, pk1 = _top_peaks(hist1, k1)
     # threshold: >= 0.8 * strongest (strict < breaks, MultiScale.cpp:2889)
     valid1 = pk1 & (v1 >= cfg.ori_peak_threshold * v1[:, :1]) & (v1 > 0)
@@ -278,9 +330,7 @@ def canonical_stage(pn, cfg: SiftConfig):
         par = (e * p1s[:, None, :]).sum(-1, keepdims=True)
         perp = _norm_or_x(e - par * p1s[:, None, :])
         coords2 = perp * rad + rad + 0.5
-        hist2 = gauss.blur3d_batched(
-            _splat_histogram(coords2, wgt), cfg.ori_hist_blur_sigma, 0.01
-        )
+        hist2 = _smooth_histogram(coords2, wgt, cfg.ori_hist_blur_sigma)
         v2, pz2, py2, px2, pk2 = _top_peaks(hist2, k2)
         valid2 = pk2 & (v2 >= cfg.ori_2nd_peak_threshold * v2[:, :1]) & (v2 > 0)
         for s2 in range(k2):

@@ -150,3 +150,15 @@ def test_orient_stage_returns_valid_orientations(rng):
                     m = ori[c, s1, s2]
                     np.testing.assert_allclose(m @ m.T, np.eye(3), atol=2e-2)
                     assert np.linalg.det(m) > 0.9
+
+
+def test_smooth_histogram_matches_splat_plus_blur(rng):
+    """The MXU histogram formulation must equal scatter-splat + blur."""
+    from sift3d.kernels import gauss
+    from sift3d.pipeline.features import _smooth_histogram, _splat_histogram
+
+    coords = jnp.asarray(rng.uniform(0.0, 11.0, (3, 40, 3)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0, 2, (3, 40)).astype(np.float32))
+    want = np.asarray(gauss.blur3d_batched(_splat_histogram(coords, w), 0.5, 0.01))
+    got = np.asarray(_smooth_histogram(coords, w, 0.5))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
