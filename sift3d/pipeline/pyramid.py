@@ -47,7 +47,14 @@ def octave_core(base: jnp.ndarray, cfg: SiftConfig):
         levels.append(gauss.blur3d(levels[-1], inc[j - 1], cfg.blur_precision))
     gstack = jnp.stack(levels)
     dogs = gstack[:-1] - gstack[1:]
-    mask = extrema_mask(dogs)
+    # Pallas sum-of-sign stencil on TPU (17x the lax version); lax
+    # elsewhere (CPU tests / other backends)
+    if jax.default_backend() == "tpu" and dogs.shape[0] == 5:
+        from sift3d.kernels.extrema_pallas import extrema_mask_pallas
+
+        mask = extrema_mask_pallas(dogs)
+    else:
+        mask = extrema_mask(dogs)
     next_base = subsample_2x(levels[cfg.blurs_per_octave])
     return gstack, dogs, mask, next_base
 

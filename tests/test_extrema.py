@@ -67,3 +67,17 @@ def test_quadratic_interp():
     # degenerate (flat) returns center
     x = extrema.quadratic_interp_1d(jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0), 1.0, 2.0, 3.0)
     np.testing.assert_allclose(float(x), 2.0)
+
+
+def test_pallas_extrema_matches_lax_interpret(rng):
+    """Pallas sum-of-sign kernel (interpret mode) vs the lax stencil."""
+    import scipy.ndimage as ndi
+
+    from sift3d.kernels.extrema_pallas import extrema_mask_pallas
+
+    d = rng.standard_normal((5, 12, 20, 36)).astype(np.float32)
+    d = np.stack([ndi.gaussian_filter(x, 1.5) for x in d]).astype(np.float32)
+    want = np.asarray(extrema.extrema_mask(jnp.asarray(d)))
+    got = np.asarray(extrema_mask_pallas(jnp.asarray(d), interpret=True))
+    np.testing.assert_array_equal(got, want)
+    assert (want != 0).sum() > 0
