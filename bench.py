@@ -72,7 +72,9 @@ def main() -> None:
     # a batch of distinct volumes processed with interleaved scheduling:
     # volumes/sec is the serving metric, and phase interleaving hides the
     # host-sync latency of any one volume
-    batch = 4
+    import os
+
+    batch = int(os.environ.get("SIFT3D_BENCH_BATCH", "8"))
     vols = [synthetic_t1(seed=7 + i) for i in range(batch)]
     # warmup (compilation)
     feats = extract_features_many(vols, DEFAULT_CONFIG)

@@ -85,7 +85,7 @@ def blur3d_sharded(
             b[lo:hi, o] = t[lo - o + radius : hi - o + radius]
         blurred = jnp.einsum(
             "zyx,zw->wyx", ext, jnp.asarray(b),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=gauss._BLUR_PRECISION,
         )
         return blurred[radius : radius + local.shape[0]]
 
