@@ -30,17 +30,42 @@ from sift3d.kernels import gauss
 
 
 def _exchange_halo_z(local: jnp.ndarray, radius: int, axis_name: str) -> jnp.ndarray:
-    """Attach `radius` planes from both Z-neighbors (zeros at the ends)."""
+    """Attach `radius` planes from Z-neighbors (zeros past the global ends).
+
+    When the radius exceeds the shard depth (large sigma late in an
+    octave), whole shards are relayed over multiple ppermute hops until
+    the halo is covered.
+    """
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
-    # send my top `radius` planes to the right neighbor, bottom to the left
-    top = local[-radius:]
-    bot = local[:radius]
-    from_left = jax.lax.ppermute(top, axis_name, [(i, i + 1) for i in range(n - 1)])
-    from_right = jax.lax.ppermute(bot, axis_name, [(i + 1, i) for i in range(n - 1)])
-    zeros = jnp.zeros_like(bot)
-    lo = jnp.where(idx > 0, from_left, zeros)
-    hi = jnp.where(idx < n - 1, from_right, zeros)
+    tz = local.shape[0]
+
+    if radius <= tz:
+        top = local[-radius:]
+        bot = local[:radius]
+        from_left = jax.lax.ppermute(top, axis_name, [(i, i + 1) for i in range(n - 1)])
+        from_right = jax.lax.ppermute(bot, axis_name, [(i + 1, i) for i in range(n - 1)])
+        zeros = jnp.zeros_like(bot)
+        lo = jnp.where(idx > 0, from_left, zeros)
+        hi = jnp.where(idx < n - 1, from_right, zeros)
+        return jnp.concatenate([lo, local, hi], axis=0)
+
+    hops = -(-radius // tz)
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    zeros = jnp.zeros_like(local)
+    left_blocks = []  # [idx-1, idx-2, ...] full shards
+    right_blocks = []
+    lblk = rblk = local
+    for h in range(1, hops + 1):
+        lblk = jax.lax.ppermute(lblk, axis_name, fwd)
+        lblk = jnp.where(idx - h >= 0, lblk, zeros)
+        left_blocks.append(lblk)
+        rblk = jax.lax.ppermute(rblk, axis_name, bwd)
+        rblk = jnp.where(idx + h < n, rblk, zeros)
+        right_blocks.append(rblk)
+    lo = jnp.concatenate(list(reversed(left_blocks)), axis=0)[-radius:]
+    hi = jnp.concatenate(right_blocks, axis=0)[:radius]
     return jnp.concatenate([lo, local, hi], axis=0)
 
 

@@ -100,3 +100,26 @@ def test_solve_similarity_sharded_matches(rng, mesh8):
     np.testing.assert_allclose(s, 2.0, rtol=1e-4)
     np.testing.assert_allclose(r, np.eye(3), atol=1e-4)
     np.testing.assert_allclose(t, [1, 2, 3], atol=1e-3)
+
+
+def test_spatial_octave_matches_single_device(rng, mesh_space):
+    """Z-sharded pyramid octave (halo blur + sharded extrema) vs local."""
+    import scipy.ndimage as ndi
+
+    from sift3d.dist import spatial as dspatial
+    from sift3d.pipeline.pyramid import initial_blur, octave_step
+
+    cfg = SiftConfig()
+    vol = rng.standard_normal((32, 16, 16)).astype(np.float32)
+    vol = ndi.gaussian_filter(vol, 1.5).astype(np.float32) * 50
+
+    want = octave_step(initial_blur(jnp.asarray(vol), cfg), cfg)
+
+    sharded = dhalo.shard_volume(jnp.asarray(vol), mesh_space)
+    base = dspatial.initial_blur_spatial(sharded, cfg, mesh_space)
+    got = dspatial.octave_step_spatial(base, cfg, mesh_space)
+
+    np.testing.assert_allclose(np.asarray(got.gstack), np.asarray(want.gstack), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.dogs), np.asarray(want.dogs), rtol=2e-3, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got.mask), np.asarray(want.mask))
+    np.testing.assert_allclose(np.asarray(got.next_base), np.asarray(want.next_base), rtol=2e-4, atol=2e-5)
