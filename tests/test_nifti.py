@@ -84,3 +84,21 @@ def test_big_endian(tmp_path, rng):
     open(path2, "wb").write(bytes(be))
     img = nifti.read(path2)
     np.testing.assert_array_equal(np.asarray(img.data, dtype=np.float32), vol)
+
+
+def test_hdr_img_pair(tmp_path, rng):
+    """Analyze-style two-file pairs (.hdr + .img)."""
+    import struct
+
+    vol = rng.standard_normal((4, 5, 6)).astype(np.float32)
+    # build from the single-file writer: header with vox_offset 0 + raw img
+    single = str(tmp_path / "v.nii")
+    nifti.write(single, vol)
+    raw = open(single, "rb").read()
+    hdr = bytearray(raw[:348])
+    struct.pack_into("<f", hdr, 108, 0.0)  # vox_offset = 0 for pairs
+    hdr[344:348] = b"ni1\x00"
+    open(str(tmp_path / "v.hdr"), "wb").write(bytes(hdr))
+    open(str(tmp_path / "v.img"), "wb").write(raw[352:])
+    img = nifti.read(str(tmp_path / "v.hdr"))
+    np.testing.assert_array_equal(np.asarray(img.data), vol)
