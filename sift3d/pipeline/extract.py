@@ -236,41 +236,57 @@ def extract_features_many(
             p["lvl"], p["sign"], kb,
         )
         o = fstage.canonical_stage(pn_k, cfg)
+        p["n_kept"] = int(kept)
         p["count"] = fstage.emit_count_stage(kvalid, o["ori_valid"], cfg, reoriented)
-        p["emit_args"] = (
-            p["gstack"], lvl_k, xyz_k, scale_k, kvalid, sign_k, eigs_k, eig_ori_k,
+        p["pn_k"] = pn_k
+        p["a_args"] = (kvalid, xyz_k, scale_k, eigs_k, eig_ori_k, sign_k)
+        p["b_args"] = (
+            p["gstack"], lvl_k, xyz_k, scale_k, kvalid, sign_k, eigs_k,
             o["ori"], o["ori_valid"],
         )
 
     if not pending:
         return empty_result
 
-    # phase 2c: one sync for all chunk row counts, then dispatch emission +
-    # descriptors at exactly-bucketed capacities
+    # phase 2c: one sync for all chunk row counts, then dispatch the split
+    # emission: unoriented rows reuse the gather-stage patches (no
+    # resampling); only reoriented rows pay the rotated-patch gathers
     with timer.stage("row_counts"):
         counts = np.asarray(jnp.stack([p["count"] for p in pending])).astype(np.int64)
-    pending = [p for p, n in zip(pending, counts) if n > 0]
-    counts = counts[counts > 0]
+    fetch = []
     for p, n_rows in zip(pending, counts):
-        p["emit_cap"] = _bucket(int(n_rows), 16 * chunk)
-        _, packed, r_patches = fstage.emit_stage(*p["emit_args"], cfg, p["emit_cap"], reoriented)
-        p["packed"] = packed
-        p["desc"] = fstage.descriptor_stage(r_patches, descriptor).astype(jnp.uint8)
-
-    if not pending:
-        return empty_result
+        p["packed_a"] = fstage.pack_unoriented_stage(*p["a_args"], cfg)
+        p["desc_a"] = fstage.descriptor_stage(p["pn_k"], descriptor).astype(jnp.uint8)
+        fetch += [p["packed_a"], p["desc_a"]]
+        n_b = int(n_rows) - p["n_kept"]
+        if reoriented and n_b > 0:
+            cap_b = _bucket(n_b, 16 * chunk)
+            _, packed_b, patches_b = fstage.emit_reoriented_stage(
+                *p["b_args"], cfg, cap_b
+            )
+            p["packed_b"] = packed_b
+            p["desc_b"] = fstage.descriptor_stage(patches_b, descriptor).astype(jnp.uint8)
+            fetch += [p["packed_b"], p["desc_b"]]
+        else:
+            p["packed_b"] = None
 
     with timer.stage("download"):
-        host = jax.device_get([p["packed"] for p in pending] + [p["desc"] for p in pending])
-        packed_np = host[: len(pending)]
-        desc_np = host[len(pending) :]
-
-    rows = [min(int(n), p["emit_cap"]) for p, n in zip(pending, counts)]
+        host = jax.device_get(fetch)
+    it = iter(host)
     per_vol = [[] for _ in range(n_vol)]
-    for p, buf, dsc, n in zip(pending, packed_np, desc_np, rows):
-        if n == 0:
-            continue
-        buf = buf[:n]
+    for p in pending:
+        pa, da = next(it), next(it)
+        bufs, descs = [pa], [da]
+        if p["packed_b"] is not None:
+            pb, db = next(it), next(it)
+            bufs.append(pb)
+            descs.append(db)
+        buf = np.concatenate(bufs)
+        dsc = np.concatenate(descs)
+        keep_mask = buf[:, 17] >= 0
+        buf, dsc = buf[keep_mask], dsc[keep_mask]
+        order = np.argsort(buf[:, 17], kind="stable")  # reference push order
+        buf, dsc = buf[order], dsc[order]
         factor = np.float32(2.0 ** p["octave"])  # octave scaling (MultiScale.cpp:531-543)
         per_vol[p["vol"]].append(
             FeatureSet(
@@ -279,7 +295,7 @@ def extract_features_many(
                 eigs=buf[:, 4:7],
                 ori=buf[:, 7:16].reshape(-1, 3, 3),
                 info=buf[:, 16].astype(np.uint32),
-                desc=dsc[:n].astype(np.float32),
+                desc=dsc.astype(np.float32),
             )
         )
     return [FeatureSet.concatenate(s) for s in per_vol]

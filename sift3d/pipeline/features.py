@@ -387,6 +387,78 @@ def emit_count_stage(keep, ori_valid, cfg: SiftConfig, reoriented: bool = True):
     return slots.sum()
 
 
+def _pack_rows(order_key, xyz, scale, eigs, ori, info):
+    """[N, 18] packed rows: x y z scale eigs*3 ori*9 info order_key."""
+    return jnp.concatenate(
+        [
+            xyz,
+            scale[:, None],
+            eigs,
+            ori.reshape(-1, 9),
+            info.astype(jnp.float32)[:, None],
+            order_key.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def pack_unoriented_stage(kvalid, xyz, scale, eigs, eig_ori, sign, cfg: SiftConfig):
+    """Packed rows for the unoriented features (one per kept candidate).
+
+    Their patches are the identity-orientation patches the gather stage
+    already sampled — no resampling happens for these rows.
+    """
+    from sift3d.core.featureset import INFO_FLAG_MIN0MAX1
+
+    c = xyz.shape[0]
+    s = cfg.max_primary_orientations * cfg.max_secondary_orientations
+    info = jnp.where(sign > 0, INFO_FLAG_MIN0MAX1, 0).astype(jnp.uint32)
+    key = jnp.arange(c, dtype=jnp.int32) * (1 + s)
+    packed = _pack_rows(key, xyz, scale, eigs, eig_ori, info)
+    # invalidate padding rows via the order key (host drops key < 0)
+    return jnp.where(kvalid[:, None], packed, -1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "emit_cap"))
+def emit_reoriented_stage(
+    gstack, lvl, xyz, scale, kvalid, sign, eigs, ori, ori_valid,
+    cfg: SiftConfig, emit_cap: int,
+):
+    """Device-compacted reoriented rows + their freshly resampled patches.
+
+    Only these rows pay the rotated-patch gather cost; the unoriented rows
+    reuse the gather-stage patches (pack_unoriented_stage).
+    """
+    from sift3d.core.featureset import INFO_FLAG_MIN0MAX1, INFO_FLAG_REORIENT
+
+    c, k1, k2 = ori_valid.shape
+    s = k1 * k2
+    ovf = ori_valid.reshape(c, s) & kvalid[:, None]
+    rank = jnp.cumsum(ovf.astype(jnp.int32), axis=1) - 1
+    slots = ovf & (rank < cfg.max_orientations)
+    flat = slots.ravel()
+    count = flat.sum()
+    idx = jnp.nonzero(flat, size=emit_cap, fill_value=flat.shape[0])[0]
+    row_valid = idx < flat.shape[0]
+    cand = jnp.clip(idx // s, 0, c - 1)
+    slot = jnp.where(row_valid, idx % s, 0)
+
+    row_xyz = xyz[cand]
+    row_scale = scale[cand]
+    row_eigs = eigs[cand]
+    row_lvl = lvl[cand]
+    row_ori = ori.reshape(c, s, 3, 3)[cand, slot]
+    row_info = jnp.where(sign[cand] > 0, INFO_FLAG_MIN0MAX1, 0).astype(jnp.uint32)
+    row_info = row_info | jnp.uint32(INFO_FLAG_REORIENT)
+    key = jnp.where(row_valid, cand * (1 + s) + slot + 1, -1)
+
+    patches = sample_patches_leveled(gstack, row_lvl, row_xyz, row_scale, row_ori)
+    packed = _pack_rows(key, row_xyz, row_scale, row_eigs, row_ori, row_info)
+    packed = jnp.where(row_valid[:, None], packed, -1.0)
+    return count, packed, patches
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "emit_cap", "reoriented"))
 def emit_stage(
     gstack, lvl, xyz, scale, keep, sign, eigs, eig_ori, ori, ori_valid,
