@@ -140,6 +140,75 @@ def sample_patches_leveled(
     return vals.reshape(-1, PATCH_DIM, PATCH_DIM, PATCH_DIM)
 
 
+_BOX = 40  # bounding-box size for boxed sampling (covers max patch extent)
+
+
+def sample_patches_identity_boxed(
+    gstack: jnp.ndarray,  # [L, Z, Y, X]
+    lvl: jnp.ndarray,  # [C] int32
+    centers: jnp.ndarray,  # [C, 3] (x, y, z)
+    scales: jnp.ndarray,  # [C]
+) -> jnp.ndarray:
+    """Identity-orientation patches via contiguous box slices + separable
+    interpolation.
+
+    Axis-aligned patches factor per axis, so instead of 8 random gathers
+    per sample point we DMA one bounding box per candidate
+    (vmapped dynamic_slice — measured ~12x faster per element than random
+    gathers on TPU) and contract it with per-axis 2-tap interpolation
+    matrices on the MXU. Exactly equals sample_patches_leveled with an
+    identity orientation for candidates whose patch fits the box — which
+    the iRadMax bounds test guarantees for every kept candidate.
+    """
+    nl, zd, yd, xd = gstack.shape
+    box = min(_BOX, zd, yd, xd)
+    fac = (2.0 * scales / float(PATCH_RAD))  # [C]
+    half_ext = 5.0 * fac + 1.5
+
+    def axis(coord, dim):
+        origin = jnp.clip(
+            jnp.floor(coord - half_ext).astype(jnp.int32), 0, max(dim - box, 0)
+        )
+        return origin
+
+    ox = axis(centers[:, 0], xd)
+    oy = axis(centers[:, 1], yd)
+    oz = axis(centers[:, 2], zd)
+
+    def slice_one(l, z0, y0, x0):
+        return jax.lax.dynamic_slice(gstack, (l, z0, y0, x0), (1, box, box, box))[0]
+
+    boxes = jax.vmap(slice_one)(lvl, oz, oy, ox)  # [C, box, box, box]
+
+    offs = jnp.arange(PATCH_DIM, dtype=jnp.float32) - PATCH_RAD  # [-5..5]
+
+    def weights(coord, origin, dim):
+        # continuous coords of the 11 patch samples along this axis
+        u = coord[:, None] + offs[None, :] * fac[:, None]  # [C, 11]
+        # reference border saturation happens at the *volume* border; kept
+        # candidates are interior, so local interpolation suffices
+        ul = u - origin[:, None].astype(jnp.float32)
+        i0 = jnp.clip(jnp.floor(ul - 0.5).astype(jnp.int32), 0, box - 2)
+        w0 = 1.0 - (ul - 0.5 - i0.astype(jnp.float32))
+        w0 = jnp.clip(w0, 0.0, 1.0)
+        bins = jnp.arange(box)
+        a = w0[..., None] * (bins == i0[..., None])
+        a = a + (1.0 - w0)[..., None] * (bins == (i0 + 1)[..., None])
+        return a  # [C, 11, box]
+
+    ax = weights(centers[:, 0], ox, xd)
+    ay = weights(centers[:, 1], oy, yd)
+    az = weights(centers[:, 2], oz, zd)
+
+    # full f32 multiply precision: default bf16 MXU passes shift patch
+    # values ~1e-3, enough to flip marginal eig/orientation decisions
+    kw = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    t = jnp.einsum("cZYX,czZ->czYX", boxes, az, **kw)
+    t = jnp.einsum("czYX,cyY->czyX", t, ay, **kw)
+    t = jnp.einsum("czyX,cxX->czyx", t, ax, **kw)
+    return t
+
+
 def normalize_patches(patches: jnp.ndarray) -> jnp.ndarray:
     """Subtract mean, unit L2 norm (Feature3D::NormalizeData)."""
     n = patches.shape[0]

@@ -232,9 +232,11 @@ def gather_stage(gstack, dogs, lvl, zyx, valid, sigmas: Tuple[float, ...]):
     keep = valid & in_bounds
 
     # identity-orientation patch from the Gaussian level matching the
-    # center DoG index (fioG0 at generation time, see SURVEY.md 3.2)
-    ident = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (lvl.shape[0], 3, 3))
-    patches = sample_patches_leveled(gstack, lvl, xyz, scale, ident)
+    # center DoG index (fioG0 at generation time, see SURVEY.md 3.2);
+    # boxed separable sampling — exact for in-bounds (kept) candidates
+    from sift3d.kernels.patch import sample_patches_identity_boxed
+
+    patches = sample_patches_identity_boxed(gstack, lvl, xyz, scale)
 
     return xyz, scale, keep, patches
 

@@ -162,3 +162,16 @@ def test_smooth_histogram_matches_splat_plus_blur(rng):
     want = np.asarray(gauss.blur3d_batched(_splat_histogram(coords, w), 0.5, 0.01))
     got = np.asarray(_smooth_histogram(coords, w, 0.5))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_boxed_identity_sampling_matches_gather(rng):
+    """Boxed separable sampling == leveled gather sampling (identity ori)."""
+    gstack = jnp.asarray(rng.standard_normal((6, 48, 48, 48)).astype(np.float32))
+    n = 16
+    lvl = jnp.asarray(rng.integers(1, 4, n).astype(np.int32))
+    xyz = jnp.asarray(rng.uniform(14, 34, (n, 3)).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(2.0, 5.5, n).astype(np.float32))
+    ident = jnp.broadcast_to(jnp.eye(3, dtype=np.float32), (n, 3, 3))
+    want = np.asarray(pk.sample_patches_leveled(gstack, lvl, xyz, scale, ident))
+    got = np.asarray(pk.sample_patches_identity_boxed(gstack, lvl, xyz, scale))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
