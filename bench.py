@@ -103,4 +103,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # the TPU relay occasionally kills a process with a transient
+        # backend error; one clean retry in a fresh attempt
+        import traceback
+
+        traceback.print_exc()
+        main()
