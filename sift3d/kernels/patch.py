@@ -209,6 +209,95 @@ def sample_patches_identity_boxed(
     return t
 
 
+_RBOX = 64  # rotated-patch box (covers sqrt(3) * max patch extent)
+
+
+def sample_patches_rotated_boxed(
+    gstack: jnp.ndarray,  # [L, Z, Y, X]
+    lvl: jnp.ndarray,  # [R] int32
+    centers: jnp.ndarray,  # [R, 3] (x, y, z)
+    scales: jnp.ndarray,  # [R]
+    oris: jnp.ndarray,  # [R, 3, 3]
+) -> jnp.ndarray:
+    """Rotated patches via per-row box slices + one-hot MXU contractions.
+
+    Trilinear interpolation factors per axis even for rotated sample
+    points: value = sum_Z az[Z] sum_Y ay[Y] sum_X ax[X] box[Z,Y,X] with
+    2-tap per-axis factors. Materializing the factors per point-chunk and
+    contracting on the MXU replaces the random 8-corner gathers (the
+    TPU's slowest op class) with matmuls. Box origins clamp to the volume
+    so border saturation matches the reference; the reference's
+    x-out-of-volume -> 0 rule is applied from global coordinates.
+    """
+    nl, zd, yd, xd = gstack.shape
+    bz, by, bx = min(_RBOX, zd), min(_RBOX, yd), min(_RBOX, xd)
+    r = centers.shape[0]
+
+    grid = jnp.asarray(_GRID)  # [V, 3] (x, y, z)
+    ori_inv = invert_3x3(oris)
+    rotated = jnp.einsum("cij,vj->cvi", ori_inv, grid)
+    fac = (2.0 * scales / float(PATCH_RAD))[:, None, None]
+    coords = rotated * fac + centers[:, None, :]  # [R, V, 3] global (x, y, z)
+
+    def origin(c, dim, b):
+        return jnp.clip(jnp.floor(c).astype(jnp.int32) - b // 2, 0, max(dim - b, 0))
+
+    ox = origin(centers[:, 0], xd, bx)
+    oy = origin(centers[:, 1], yd, by)
+    oz = origin(centers[:, 2], zd, bz)
+
+    def taps(u_local, b):
+        # 2-tap linear weights (0.5-center convention with border clamp)
+        i0 = jnp.clip(jnp.floor(u_local - 0.5).astype(jnp.int32), 0, b - 2)
+        w0 = jnp.clip(1.0 - (u_local - 0.5 - i0.astype(jnp.float32)), 0.0, 1.0)
+        bins = jnp.arange(b)
+        a = w0[..., None] * (bins == i0[..., None])
+        return a + (1.0 - w0)[..., None] * (bins == (i0 + 1)[..., None])
+
+    kw = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    v_total = coords.shape[1]
+    cv = 121  # 1331 = 11 point-chunks of 121
+    n_vc = v_total // cv
+    rc = min(256, r)  # row chunk bounds the [rc, cv, by, bx] transient
+    n_rc = r // rc
+
+    def row_chunk(args):
+        lvl_c, oz_c, oy_c, ox_c, coords_cc = args
+
+        def slice_one(l, z0, y0, x0):
+            return jax.lax.dynamic_slice(gstack, (l, z0, y0, x0), (1, bz, by, bx))[0]
+
+        boxes = jax.vmap(slice_one)(lvl_c, oz_c, oy_c, ox_c)  # [rc, bz, by, bx]
+
+        def v_chunk(carry, cc):
+            lx = cc[..., 0] - ox_c[:, None].astype(jnp.float32)
+            ly = cc[..., 1] - oy_c[:, None].astype(jnp.float32)
+            lz = cc[..., 2] - oz_c[:, None].astype(jnp.float32)
+            az = taps(lz, bz)  # [rc, cv, bz]
+            ay = taps(ly, by)
+            ax = taps(lx, bx)
+            t1 = jnp.einsum("rZYX,rvZ->rvYX", boxes, az, **kw)
+            t2 = (t1 * ay[..., :, None]).sum(axis=-2)  # [rc, cv, bx]
+            val = (t2 * ax).sum(axis=-1)  # [rc, cv]
+            # reference x-rule: out-of-volume in x reads as zero (quirk 4)
+            val = jnp.where((cc[..., 0] < 0) | (cc[..., 0] >= xd), 0.0, val)
+            return carry, val
+
+        cc = coords_cc.reshape(rc, n_vc, cv, 3).transpose(1, 0, 2, 3)
+        _, vals = jax.lax.scan(v_chunk, None, cc)  # [n_vc, rc, cv]
+        return vals.transpose(1, 0, 2).reshape(rc, v_total)
+
+    args = (
+        lvl.reshape(n_rc, rc),
+        oz.reshape(n_rc, rc),
+        oy.reshape(n_rc, rc),
+        ox.reshape(n_rc, rc),
+        coords.reshape(n_rc, rc, v_total, 3),
+    )
+    vals = jax.lax.map(row_chunk, args)  # [n_rc, rc, V]
+    return vals.reshape(r, PATCH_DIM, PATCH_DIM, PATCH_DIM)
+
+
 def normalize_patches(patches: jnp.ndarray) -> jnp.ndarray:
     """Subtract mean, unit L2 norm (Feature3D::NormalizeData)."""
     n = patches.shape[0]

@@ -455,7 +455,9 @@ def emit_reoriented_stage(
     row_info = row_info | jnp.uint32(INFO_FLAG_REORIENT)
     key = jnp.where(row_valid, cand * (1 + s) + slot + 1, -1)
 
-    patches = sample_patches_leveled(gstack, row_lvl, row_xyz, row_scale, row_ori)
+    from sift3d.kernels.patch import sample_patches_rotated_boxed
+
+    patches = sample_patches_rotated_boxed(gstack, row_lvl, row_xyz, row_scale, row_ori)
     packed = _pack_rows(key, row_xyz, row_scale, row_eigs, row_ori, row_info)
     packed = jnp.where(row_valid[:, None], packed, -1.0)
     return count, packed, patches

@@ -175,3 +175,26 @@ def test_boxed_identity_sampling_matches_gather(rng):
     want = np.asarray(pk.sample_patches_leveled(gstack, lvl, xyz, scale, ident))
     got = np.asarray(pk.sample_patches_identity_boxed(gstack, lvl, xyz, scale))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_boxed_rotated_sampling_matches_gather(rng):
+    """Boxed MXU rotated sampling == gather-based sampling, incl. borders."""
+    gstack = jnp.asarray(rng.standard_normal((6, 48, 48, 48)).astype(np.float32))
+    n = 8
+    lvl = jnp.asarray(rng.integers(1, 4, n).astype(np.int32))
+    # include near-border centers so rotated corners leave the volume
+    xyz = np.concatenate([
+        rng.uniform(16, 32, (n - 3, 3)), rng.uniform(9, 12, (3, 3))
+    ]).astype(np.float32)
+    scale = jnp.asarray(rng.uniform(2.0, 4.0, n).astype(np.float32))
+    q = rng.standard_normal((n, 3, 3))
+    oris = np.zeros((n, 3, 3), np.float32)
+    for i in range(n):
+        u, _, vt = np.linalg.svd(q[i])
+        m = u @ vt
+        if np.linalg.det(m) < 0:
+            m[2] = -m[2]
+        oris[i] = m
+    want = np.asarray(pk.sample_patches_leveled(gstack, lvl, jnp.asarray(xyz), scale, jnp.asarray(oris)))
+    got = np.asarray(pk.sample_patches_rotated_boxed(gstack, lvl, jnp.asarray(xyz), scale, jnp.asarray(oris)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
