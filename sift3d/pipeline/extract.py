@@ -51,31 +51,50 @@ def _bucket(n: int, cap: int) -> int:
     return min(b, cap)
 
 
+_GROUP = 64
+
+
 @functools.partial(jax.jit, static_argnames=("size",))
 def _compact_mask(mask: jnp.ndarray, size: int):
-    """Device-side extrema compaction: flat indices + signs + total count.
+    """Device-side extrema compaction: nonzero GROUPS + their mask bytes.
 
-    Avoids transferring the full int8 mask volume to the host (tens of MB
-    at T1 scale); only `size` indices plus signs cross the wire. The count
-    lets the host detect overflow and fall back to a full transfer.
+    A flat nonzero over the whole mask costs ~200 ms at T1 scale (the
+    cumsum-based lowering touches every element many times). Masks are
+    extremely sparse, so compact hierarchically: an any() reduction over
+    64-element groups (one cheap pass), nonzero over the 64x smaller group
+    flags, then a row gather of the hit groups' mask bytes. The host
+    decodes element indices from (group index, offset).
+
+    Returns (group_idx [size], group_blocks [size, 64] int8, group_count,
+    candidate_count).
     """
     flat = mask.ravel()
-    total = (flat != 0).sum()
-    idx = jnp.nonzero(flat != 0, size=size, fill_value=-1)[0]
-    sign = jnp.where(idx >= 0, flat[jnp.clip(idx, 0)], 0)
-    return idx, sign, total
+    n = flat.shape[0]
+    npad = -(-n // _GROUP) * _GROUP
+    flat = jnp.pad(flat, (0, npad - n))
+    rows = flat.reshape(-1, _GROUP)
+    hit = (rows != 0).any(axis=1)
+    group_count = hit.sum()
+    cand_count = (flat != 0).sum()
+    gidx = jnp.nonzero(hit, size=size, fill_value=-1)[0]
+    blocks = rows[jnp.clip(gidx, 0)]
+    blocks = jnp.where((gidx >= 0)[:, None], blocks, 0)
+    return gidx, blocks, group_count, cand_count
 
 
-def _decode_candidates_np(mask_shape, idx, sign, total: int, size: int, res_mask):
-    """Decode already-downloaded compacted entries to (lvl0, z, y, x, sign)."""
+def _decode_candidates_np(mask_shape, gidx, blocks, group_count: int, size: int, res_mask):
+    """Decode downloaded group-compacted entries to (lvl0, z, y, x, sign)."""
     nl, zd, yd, xd = mask_shape
-    if total > size:
+    if group_count > size:
         # overflow (extremely textured volume): full fallback transfer
         mask = np.asarray(res_mask)
         lvls0, zs, ys, xs = np.nonzero(mask)
         return lvls0, zs, ys, xs, mask[lvls0, zs, ys, xs].astype(np.int32)
-    idx = np.asarray(idx[:total])
-    sign = np.asarray(sign[:total]).astype(np.int32)
+    gi = np.asarray(gidx[:group_count])
+    bl = np.asarray(blocks[:group_count])
+    rows_nz, offs_nz = np.nonzero(bl)
+    idx = gi[rows_nz] * _GROUP + offs_nz
+    sign = bl[rows_nz, offs_nz].astype(np.int32)
     lvls0, rem = np.divmod(idx, zd * yd * xd)
     zs, rem = np.divmod(rem, yd * xd)
     ys, xs = np.divmod(rem, xd)
@@ -85,10 +104,10 @@ def _decode_candidates_np(mask_shape, idx, sign, total: int, size: int, res_mask
 def _extract_candidates(res_mask, cap: int):
     """Returns (lvl0, zs, ys, xs, signs) numpy arrays from the device mask."""
     nl, zd, yd, xd = res_mask.shape
-    size = min(cap, nl * zd * yd * xd)
-    idx_d, sign_d, total_d = _compact_mask(res_mask, size)
+    size = min(cap, -(-(nl * zd * yd * xd) // _GROUP))
+    gidx, blocks, gc, _ = _compact_mask(res_mask, size)
     return _decode_candidates_np(
-        res_mask.shape, np.asarray(idx_d), np.asarray(sign_d), int(total_d), size, res_mask
+        res_mask.shape, np.asarray(gidx), np.asarray(blocks), int(gc), size, res_mask
     )
 
 
@@ -143,7 +162,7 @@ def extract_features_many(
         for octave in range(n_oct):
             with timer.stage(f"octave{octave}/pyramid"):
                 res = pyramid.octave_step(base, cfg)
-                size = min(cand_cap, int(np.prod(res.mask.shape)))
+                size = min(cand_cap, -(-int(np.prod(res.mask.shape)) // _GROUP))
                 compact = _compact_mask(res.mask, size)
                 octave_results.append((vol_i, octave, res, compact, size))
             base = res.next_base
@@ -151,18 +170,21 @@ def extract_features_many(
     if not octave_results:
         return [FeatureSet.empty(0) for _ in range(n_vol)]
 
-    # phase 1.5: one host round trip for every octave's candidate count,
-    # then one batched device_get for all (padded, static-shape) index and
-    # sign arrays
+    # phase 1.5: one host round trip for every octave's group count, then
+    # one batched device_get of group indices + mask bytes, sliced to
+    # power-of-2 buckets of the actual hit counts
     with timer.stage("candidate_counts"):
-        totals = np.asarray(jnp.stack([t for (_, _, _, (_, _, t), _) in octave_results]))
+        gcounts = np.asarray(
+            jnp.stack([c[2] for (_, _, _, c, _) in octave_results])
+        ).astype(np.int64)
     with timer.stage("candidate_download"):
-        host = jax.device_get(
-            [c[0] for (_, _, _, c, _) in octave_results]
-            + [c[1] for (_, _, _, c, _) in octave_results]
-        )
-        idx_np = host[: len(octave_results)]
-        sign_np = host[len(octave_results) :]
+        fetch = []
+        for (_, _, _, c, size), gc in zip(octave_results, gcounts):
+            gb = _bucket(int(gc), size)
+            fetch += [c[0][:gb], c[1][:gb]]
+        host = jax.device_get(fetch)
+        idx_np = host[0::2]
+        blocks_np = host[1::2]
 
     # phase 2: decode candidates and dispatch the whole feature stage for
     # every chunk of every (volume, octave) without waiting on any result
@@ -171,7 +193,7 @@ def extract_features_many(
     for oi, (vol_i, octave, res, _, size) in enumerate(octave_results):
         with timer.stage(f"octave{octave}/candidates"):
             lvls0, zs, ys, xs, signs = _decode_candidates_np(
-                res.mask.shape, idx_np[oi], sign_np[oi], int(totals[oi]), size, res.mask
+                res.mask.shape, idx_np[oi], blocks_np[oi], int(gcounts[oi]), size, res.mask
             )
             if lvls0.size == 0:
                 continue
