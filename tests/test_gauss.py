@@ -71,3 +71,16 @@ def test_blur_batched_matches_single(rng):
     for i in range(3):
         want = np.asarray(gauss.blur3d(jnp.asarray(vols[i]), 0.5, 0.01))
         np.testing.assert_allclose(got[i], want, rtol=1e-6, atol=1e-7)
+
+
+def test_pallas_blur_matches_banded_interpret(rng):
+    """Pallas fused blur (interpret mode) vs the banded-matmul reference."""
+    import jax.numpy as jnp
+
+    from sift3d.kernels.gauss_pallas import blur3d_pallas
+
+    vol = rng.standard_normal((9, 14, 21)).astype(np.float32)
+    for sigma in (0.8, 2.45):
+        want = np.asarray(gauss.blur3d(jnp.asarray(vol), sigma, 0.01))
+        got = np.asarray(blur3d_pallas(jnp.asarray(vol), sigma, 0.01, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
