@@ -66,6 +66,10 @@ class SiftConfig:
     # ---- candidate capacities (fixed shapes under jit) ----
     max_candidates_per_level: int = 8192
     feature_chunk: int = 1024
+    # chunk cap for union (multi-volume) feature programs; larger than
+    # feature_chunk because one program serves the whole batch (the boxed
+    # gather transient is chunk x 256 KB, so 4096 -> ~1 GB HBM)
+    union_chunk: int = 4096
 
     # ---- matching ----
     knn_neighbors: int = 5

@@ -25,16 +25,16 @@ from sift3d.pipeline import pyramid
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def octave_step_batch(bases: jnp.ndarray, cfg: SiftConfig):
-    """vmapped octave step over [B, Z, Y, X] volume batches."""
-    def one(base):
-        return pyramid.octave_step(base, cfg)
+    """Batched octave step over [B, Z, Y, X] volume batches.
 
-    return jax.vmap(one)(bases)
+    octave_core is batch-general (every kernel accepts a leading volume
+    dim), so this is the same program extract_features_many dispatches."""
+    return pyramid.octave_step(bases, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "initial_image_scale"))
 def initial_blur_batch(vols: jnp.ndarray, cfg: SiftConfig, initial_image_scale: float = 1.0):
-    return jax.vmap(lambda v: pyramid.initial_blur(v, cfg, initial_image_scale))(vols)
+    return pyramid.initial_blur(vols, cfg, initial_image_scale)
 
 
 def extract_features_batch(

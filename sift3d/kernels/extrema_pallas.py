@@ -27,13 +27,16 @@ _TZ = 4  # z-slab height per grid step (VMEM: slab + f32 output block)
 
 
 def _extrema_kernel(dogs_hbm, out_ref):
-    i = pl.program_id(0)
+    # dogs_hbm is the batch-flattened [B*5, Zp+2, Yp, Xp] stack; grid is
+    # (B, nz) and the out block covers rows [b*3, b*3+3) of [B*3, ...]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     tz = out_ref.shape[1]
     y, x = out_ref.shape[2], out_ref.shape[3]
 
     def body(slab, sem):
         cp = pltpu.make_async_copy(
-            dogs_hbm.at[:, pl.ds(i * tz, tz + 2)], slab, sem
+            dogs_hbm.at[pl.ds(b * 5, 5), pl.ds(i * tz, tz + 2)], slab, sem
         )
         cp.start()
         cp.wait()
@@ -75,12 +78,16 @@ def _extrema_kernel(dogs_hbm, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def extrema_mask_pallas(dogs: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """Pallas version of extrema_mask for [5, Z, Y, X] float32 DoGs.
+    """Pallas version of extrema_mask for [5, Z, Y, X] or [B, 5, Z, Y, X]
+    float32 DoGs (the batch dim becomes an extra grid dim).
 
     Measured 17x faster than the lax shifted-compare implementation on a
     182x218x182 DoG stack (12.7 ms vs 218 ms on one v5e chip).
     """
-    nl, z, y, x = dogs.shape
+    batched = dogs.ndim == 5
+    if not batched:
+        dogs = dogs[None]
+    bn, nl, z, y, x = dogs.shape
     assert nl == 5
     nz = pl.cdiv(z, _TZ)
     zp = nz * _TZ
@@ -88,20 +95,22 @@ def extrema_mask_pallas(dogs: jnp.ndarray, interpret: bool = False) -> jnp.ndarr
     yp = -(-y // 8) * 8
     xp = -(-x // 128) * 128
     # left z-halo of 1 plus right padding so every slab DMA is in-bounds
-    dogs_p = jnp.pad(dogs, ((0, 0), (1, 1 + zp - z), (0, yp - y), (0, xp - x)))
+    dogs_p = jnp.pad(dogs, ((0, 0), (0, 0), (1, 1 + zp - z), (0, yp - y), (0, xp - x)))
+    dogs_p = dogs_p.reshape(bn * 5, zp + 2, yp, xp)
 
     s = pl.pallas_call(
         _extrema_kernel,
-        out_shape=jax.ShapeDtypeStruct((3, zp, yp, xp), jnp.float32),
-        grid=(nz,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_shape=jax.ShapeDtypeStruct((bn * 3, zp, yp, xp), jnp.float32),
+        grid=(bn, nz),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (3, _TZ, yp, xp), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            (3, _TZ, yp, xp), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(dogs_p)
-    s = s[:, :z, :y, :x]
+    s = s.reshape(bn, 3, zp, yp, xp)[:, :, :z, :y, :x]
 
     mask = (s == 80.0).astype(jnp.int8) - (s == -80.0).astype(jnp.int8)
     interior = jnp.zeros((z, y, x), dtype=bool).at[1:-1, 1:-1, 1:-1].set(True)
-    return jnp.where(interior, mask, jnp.int8(0))
+    mask = jnp.where(interior, mask, jnp.int8(0))
+    return mask if batched else mask[0]

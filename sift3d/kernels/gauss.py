@@ -103,10 +103,15 @@ _BLUR_PRECISION = jax.lax.Precision.HIGH
 
 
 def blur_axis(vol: jnp.ndarray, axis: int, sigma: float, min_value: float) -> jnp.ndarray:
-    """Blur one axis of a [Z, Y, X] volume via a banded matmul."""
-    dim = vol.shape[axis]
+    """Blur one spatial axis of a [..., Z, Y, X] volume via a banded matmul.
+
+    `axis` indexes the three trailing spatial dims (0=Z, 1=Y, 2=X); any
+    leading dims (e.g. a volume batch) ride along as einsum ellipses,
+    which XLA lowers to one batched MXU matmul.
+    """
+    dim = vol.shape[vol.ndim - 3 + axis]
     b = jnp.asarray(_banded_matrix(dim, float(sigma), float(min_value)))
-    specs = {0: "zyx,zw->wyx", 1: "zyx,yw->zwx", 2: "zyx,xw->zyw"}
+    specs = {0: "...zyx,zw->...wyx", 1: "...zyx,yw->...zwx", 2: "...zyx,xw->...zyw"}
     return jnp.einsum(
         specs[axis], vol, b, preferred_element_type=jnp.float32, precision=_BLUR_PRECISION
     )

@@ -20,16 +20,19 @@ import jax.numpy as jnp
 
 
 def subsample_2x(vol: jnp.ndarray) -> jnp.ndarray:
-    """Halve each dimension; each output voxel = mean of the 2x2x2 block.
+    """Halve each spatial dimension of a [..., Z, Y, X] volume; each output
+    voxel = mean of the 2x2x2 block.
 
     Matches fioSubSampleInterpolate for even dims (odd trailing voxels are
-    dropped, as in the reference where out dims are in/2).
+    dropped, as in the reference where out dims are in/2). Leading dims
+    (volume batch) ride along.
     """
-    z, y, x = vol.shape
+    z, y, x = vol.shape[-3:]
+    lead = vol.shape[:-3]
     z2, y2, x2 = z // 2, y // 2, x // 2
-    v = vol[: 2 * z2, : 2 * y2, : 2 * x2]
-    v = v.reshape(z2, 2, y2, 2, x2, 2)
-    return v.mean(axis=(1, 3, 5))
+    v = vol[..., : 2 * z2, : 2 * y2, : 2 * x2]
+    v = v.reshape(lead + (z2, 2, y2, 2, x2, 2))
+    return v.mean(axis=(-5, -3, -1))
 
 
 def double_size(vol: jnp.ndarray) -> jnp.ndarray:

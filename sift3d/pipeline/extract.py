@@ -54,8 +54,7 @@ def _bucket(n: int, cap: int) -> int:
 _GROUP = 64
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
-def _compact_mask(mask: jnp.ndarray, size: int):
+def _compact_mask_one(mask: jnp.ndarray, size: int):
     """Device-side extrema compaction: nonzero GROUPS + their mask bytes.
 
     A flat nonzero over the whole mask costs ~200 ms at T1 scale (the
@@ -82,12 +81,19 @@ def _compact_mask(mask: jnp.ndarray, size: int):
     return gidx, blocks, group_count, cand_count
 
 
-def _decode_candidates_np(mask_shape, gidx, blocks, group_count: int, size: int, res_mask):
+@functools.partial(jax.jit, static_argnames=("size",))
+def _compact_mask(mask: jnp.ndarray, size: int):
+    """Batched hierarchical compaction over [B, ...] masks (one program
+    per octave shape serves the whole volume batch)."""
+    return jax.vmap(lambda m: _compact_mask_one(m, size))(mask)
+
+
+def _decode_candidates_np(mask_shape, gidx, blocks, group_count: int, size: int, fetch_mask):
     """Decode downloaded group-compacted entries to (lvl0, z, y, x, sign)."""
     nl, zd, yd, xd = mask_shape
     if group_count > size:
         # overflow (extremely textured volume): full fallback transfer
-        mask = np.asarray(res_mask)
+        mask = np.asarray(fetch_mask())
         lvls0, zs, ys, xs = np.nonzero(mask)
         return lvls0, zs, ys, xs, mask[lvls0, zs, ys, xs].astype(np.int32)
     gi = np.asarray(gidx[:group_count])
@@ -105,9 +111,10 @@ def _extract_candidates(res_mask, cap: int):
     """Returns (lvl0, zs, ys, xs, signs) numpy arrays from the device mask."""
     nl, zd, yd, xd = res_mask.shape
     size = min(cap, -(-(nl * zd * yd * xd) // _GROUP))
-    gidx, blocks, gc, _ = _compact_mask(res_mask, size)
+    gidx, blocks, gc, _ = _compact_mask(res_mask[None], size)
     return _decode_candidates_np(
-        res_mask.shape, np.asarray(gidx), np.asarray(blocks), int(gc), size, res_mask
+        res_mask.shape, np.asarray(gidx[0]), np.asarray(blocks[0]), int(gc[0]), size,
+        lambda: res_mask,
     )
 
 
@@ -150,63 +157,93 @@ def extract_features_many(
     sigmas = tuple(cfg.level_sigmas())
     n_vol = len(imgs)
 
-    # phase 1: dispatch every (volume, octave) pyramid + extrema compaction
-    # without touching the host
-    octave_results = []  # entries: (vol, octave, res, compact, size)
+    # volumes of the same shape advance together as ONE stacked batch:
+    # per-dispatch host latency through the tunnel (~30 ms RTT) dominates
+    # octave compute, so every phase below runs one program per
+    # (shape-group, octave) instead of one per (volume, octave)
+    arrs = [jnp.asarray(img, dtype=jnp.float32) for img in imgs]
+    groups: dict = {}
+    for i, a in enumerate(arrs):
+        groups.setdefault(tuple(a.shape), []).append(i)
+
+    # phase 1: dispatch every (group, octave) batched pyramid + extrema
+    # compaction without touching the host
+    octave_results = []  # entries: (vol_ids, octave, res, compact, size)
     cand_cap = 8 * cfg.max_candidates_per_level
-    for vol_i, img in enumerate(imgs):
-        img = jnp.asarray(img, dtype=jnp.float32)
+    for shape, vol_ids in groups.items():
+        stack = jnp.stack([arrs[i] for i in vol_ids])
         with timer.stage("initial_blur"):
-            base = pyramid.initial_blur(img, cfg, initial_image_scale)
-        n_oct = pyramid.num_octaves(img.shape, cfg)
+            base = pyramid.initial_blur(stack, cfg, initial_image_scale)
+        n_oct = pyramid.num_octaves(shape, cfg)
         for octave in range(n_oct):
             with timer.stage(f"octave{octave}/pyramid"):
                 res = pyramid.octave_step(base, cfg)
-                size = min(cand_cap, -(-int(np.prod(res.mask.shape)) // _GROUP))
+                per_vol_elems = int(np.prod(res.mask.shape[1:]))
+                size = min(cand_cap, -(-per_vol_elems // _GROUP))
                 compact = _compact_mask(res.mask, size)
-                octave_results.append((vol_i, octave, res, compact, size))
+                octave_results.append((vol_ids, octave, res, compact, size))
             base = res.next_base
 
     if not octave_results:
         return [FeatureSet.empty(0) for _ in range(n_vol)]
 
-    # phase 1.5: one host round trip for every octave's group count, then
-    # one batched device_get of group indices + mask bytes, sliced to
-    # power-of-2 buckets of the actual hit counts
+    # phase 1.5: one host round trip for every (group, octave, volume)
+    # group count, then one batched device_get of group indices + mask
+    # bytes, sliced to power-of-2 buckets of the actual hit counts
     with timer.stage("candidate_counts"):
         gcounts = np.asarray(
-            jnp.stack([c[2] for (_, _, _, c, _) in octave_results])
+            jnp.concatenate([c[2] for (_, _, _, c, _) in octave_results])
         ).astype(np.int64)
     with timer.stage("candidate_download"):
         fetch = []
-        for (_, _, _, c, size), gc in zip(octave_results, gcounts):
-            gb = _bucket(int(gc), size)
-            fetch += [c[0][:gb], c[1][:gb]]
+        pos = 0
+        buckets = []
+        for (vol_ids, _, _, c, size) in octave_results:
+            nb = len(vol_ids)
+            gb = _bucket(int(gcounts[pos : pos + nb].max()), size)
+            buckets.append((pos, gb))
+            fetch += [c[0][:, :gb], c[1][:, :gb]]
+            pos += nb
         host = jax.device_get(fetch)
         idx_np = host[0::2]
         blocks_np = host[1::2]
 
     # phase 2: decode candidates and dispatch the whole feature stage for
-    # every chunk of every (volume, octave) without waiting on any result
-    chunk = cfg.feature_chunk
+    # every chunk of every (group, octave) union without waiting on any
+    # result. Candidates are ordered (volume, level, sign, z, y, x) so the
+    # per-volume reference emission order survives the union split.
+    chunk = cfg.union_chunk
     pending = []
-    for oi, (vol_i, octave, res, _, size) in enumerate(octave_results):
+    for oi, (vol_ids, octave, res, _, size) in enumerate(octave_results):
         with timer.stage(f"octave{octave}/candidates"):
-            lvls0, zs, ys, xs, signs = _decode_candidates_np(
-                res.mask.shape, idx_np[oi], blocks_np[oi], int(gcounts[oi]), size, res.mask
-            )
-            if lvls0.size == 0:
+            mask_shape = res.mask.shape[1:]
+            parts = []
+            for b in range(len(vol_ids)):
+                pos, gb = buckets[oi]
+                lvls0, zs, ys, xs, signs = _decode_candidates_np(
+                    mask_shape, idx_np[oi][b], blocks_np[oi][b],
+                    int(gcounts[pos + b]), size, lambda b=b: res.mask[b],
+                )
+                if lvls0.size == 0:
+                    continue
+                dog_lvl = (lvls0 + 1).astype(np.int32)
+                # reference emission order: per level, valleys then peaks,
+                # scan order (generateFeatures3D_efficient loops)
+                order = np.lexsort((xs, ys, zs, signs, dog_lvl))
+                parts.append(
+                    (
+                        np.full(order.shape, b, np.int32),
+                        dog_lvl[order],
+                        zs[order].astype(np.int32),
+                        ys[order].astype(np.int32),
+                        xs[order].astype(np.int32),
+                        signs[order],
+                    )
+                )
+            if not parts:
                 continue
-            dog_lvl = (lvls0 + 1).astype(np.int32)
-            # reference emission order: per level, valleys then peaks,
-            # scan order (generateFeatures3D_efficient loops)
-            order = np.lexsort((xs, ys, zs, signs, dog_lvl))
-            dog_lvl, zs, ys, xs, signs = (
-                dog_lvl[order],
-                zs[order].astype(np.int32),
-                ys[order].astype(np.int32),
-                xs[order].astype(np.int32),
-                signs[order],
+            vis, dog_lvl, zs, ys, xs, signs = (
+                np.concatenate([p[k] for p in parts]) for k in range(6)
             )
 
         n_cand = dog_lvl.shape[0]
@@ -214,8 +251,9 @@ def extract_features_many(
             end = min(start + chunk, n_cand)
             # pad to the smallest shape bucket: padded capacity is wasted
             # compute, and most octaves carry far fewer candidates than
-            # feature_chunk
+            # the chunk cap
             cap = _bucket(end - start, chunk)
+            c_vi = _pad_to(vis[start:end], cap, fill=0)
             c_lvl = _pad_to(dog_lvl[start:end], cap, fill=1)
             c_zyx = _pad_to(
                 np.stack([zs[start:end], ys[start:end], xs[start:end]], axis=1), cap, fill=1
@@ -224,20 +262,22 @@ def extract_features_many(
             c_valid = np.zeros((cap,), dtype=bool)
             c_valid[: end - start] = True
 
+            c_vi_d = jnp.asarray(c_vi)
             c_lvl_d = jnp.asarray(c_lvl)
             c_sign_d = jnp.asarray(c_sign)
             with timer.stage(f"octave{octave}/dispatch"):
-                xyz, scale, keep, patches = fstage.gather_stage(
-                    res.gstack, res.dogs, c_lvl_d, jnp.asarray(c_zyx),
+                xyz, scale, keep, patches = fstage.gather_stage_union(
+                    res.gstack, res.dogs, c_vi_d, c_lvl_d, jnp.asarray(c_zyx),
                     jnp.asarray(c_valid), sigmas,
                 )
                 pn, eigs, eig_ori, eig_keep = fstage.eig_stage(patches, cfg)
                 keep_rows = keep & eig_keep
             pending.append(
                 dict(
-                    vol=vol_i, octave=octave, gstack=res.gstack, kept=keep_rows.sum(),
-                    keep_rows=keep_rows, pn=pn, eigs=eigs, eig_ori=eig_ori,
-                    xyz=xyz, scale=scale, lvl=c_lvl_d, sign=c_sign_d,
+                    vol_ids=vol_ids, octave=octave, gstack=res.gstack,
+                    kept=keep_rows.sum(), keep_rows=keep_rows, pn=pn, eigs=eigs,
+                    eig_ori=eig_ori, xyz=xyz, scale=scale, vi=c_vi_d,
+                    lvl=c_lvl_d, sign=c_sign_d,
                 )
             )
 
@@ -253,17 +293,19 @@ def extract_features_many(
     kepts = kepts[kepts > 0]
     for p, kept in zip(pending, kepts):
         kb = _bucket(int(kept), chunk)
-        kvalid, pn_k, eigs_k, eig_ori_k, xyz_k, scale_k, lvl_k, sign_k = fstage.select_stage(
-            p["keep_rows"], p["pn"], p["eigs"], p["eig_ori"], p["xyz"], p["scale"],
-            p["lvl"], p["sign"], kb,
+        (
+            kvalid, vi_k, pn_k, eigs_k, eig_ori_k, xyz_k, scale_k, lvl_k, sign_k
+        ) = fstage.select_stage(
+            p["keep_rows"], p["vi"], p["pn"], p["eigs"], p["eig_ori"], p["xyz"],
+            p["scale"], p["lvl"], p["sign"], kb,
         )
         o = fstage.canonical_stage(pn_k, cfg)
         p["n_kept"] = int(kept)
         p["count"] = fstage.emit_count_stage(kvalid, o["ori_valid"], cfg, reoriented)
         p["pn_k"] = pn_k
-        p["a_args"] = (kvalid, xyz_k, scale_k, eigs_k, eig_ori_k, sign_k)
+        p["a_args"] = (kvalid, vi_k, xyz_k, scale_k, eigs_k, eig_ori_k, sign_k)
         p["b_args"] = (
-            p["gstack"], lvl_k, xyz_k, scale_k, kvalid, sign_k, eigs_k,
+            p["gstack"], vi_k, lvl_k, xyz_k, scale_k, kvalid, sign_k, eigs_k,
             o["ori"], o["ori_valid"],
         )
 
@@ -310,14 +352,18 @@ def extract_features_many(
         order = np.argsort(buf[:, 17], kind="stable")  # reference push order
         buf, dsc = buf[order], dsc[order]
         factor = np.float32(2.0 ** p["octave"])  # octave scaling (MultiScale.cpp:531-543)
-        per_vol[p["vol"]].append(
-            FeatureSet(
-                xyz=buf[:, 0:3] * factor,
-                scale=buf[:, 3] * factor,
-                eigs=buf[:, 4:7],
-                ori=buf[:, 7:16].reshape(-1, 3, 3),
-                info=buf[:, 16].astype(np.uint32),
-                desc=dsc.astype(np.float32),
+        for b, vol_i in enumerate(p["vol_ids"]):
+            sel = buf[:, 18] == b
+            if not sel.any():
+                continue
+            per_vol[vol_i].append(
+                FeatureSet(
+                    xyz=buf[sel, 0:3] * factor,
+                    scale=buf[sel, 3] * factor,
+                    eigs=buf[sel, 4:7],
+                    ori=buf[sel, 7:16].reshape(-1, 3, 3),
+                    info=buf[sel, 16].astype(np.uint32),
+                    desc=dsc[sel].astype(np.float32),
+                )
             )
-        )
     return [FeatureSet.concatenate(s) for s in per_vol]

@@ -184,41 +184,54 @@ def _top_peaks(hist: jnp.ndarray, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("sigmas",))
-def gather_stage(gstack, dogs, lvl, zyx, valid, sigmas: Tuple[float, ...]):
-    """Refine candidates and sample identity-orientation patches.
+def gather_stage_union(gstacks, dogs, vi, lvl, zyx, valid, sigmas: Tuple[float, ...]):
+    """Refine candidates and sample identity-orientation patches, over the
+    union of a same-shape volume batch's candidates.
+
+    One program serves every volume of the batch — on the tunnel runtime
+    per-dispatch host latency dominates this stage, so the union dispatch
+    is the throughput lever (PERFORMANCE.md roadmap items 2/5).
 
     Args:
-      gstack: [6, Z, Y, X] Gaussian levels of the octave.
-      dogs:   [5, Z, Y, X] DoG levels.
-      lvl:    [C] int32 center DoG index (1..3).
-      zyx:    [C, 3] int32 voxel coords (z, y, x).
-      valid:  [C] bool padding mask.
-      sigmas: static per-level blur sigmas (length 6).
+      gstacks: [B, 6, Z, Y, X] Gaussian levels of the octave per volume.
+      dogs:    [B, 5, Z, Y, X] DoG levels per volume.
+      vi:      [C] int32 volume index into the batch.
+      lvl:     [C] int32 center DoG index (1..3).
+      zyx:     [C, 3] int32 voxel coords (z, y, x).
+      valid:   [C] bool padding mask.
+      sigmas:  static per-level blur sigmas (length 6).
 
     Returns (xyz [C,3] float (x,y,z, +0.5 shifted), scale [C], keep [C],
     patches [C, 11, 11, 11]).
     """
+    b, nl = dogs.shape[0], dogs.shape[1]
+    zd, yd, xd = dogs.shape[2:]
+    # flatten the batch into the level axis: per-candidate flat level
+    # index vi*L + lvl keeps every +-1 level access inside one volume
+    # (lvl is 1..3), so the samplers need no batch awareness at all
+    dogsf = dogs.reshape(b * nl, zd, yd, xd)
+    dl = vi * nl + lvl
     sig = jnp.asarray(sigmas, dtype=jnp.float32)
     z, y, x = zyx[:, 0], zyx[:, 1], zyx[:, 2]
 
-    d_c = dogs[lvl, z, y, x]
+    d_c = dogsf[dl, z, y, x]
     # spatial refinement: per-axis independent quadratic on the center level
     fx = quadratic_interp_1d(
-        dogs[lvl, z, y, x - 1], d_c, dogs[lvl, z, y, x + 1],
+        dogsf[dl, z, y, x - 1], d_c, dogsf[dl, z, y, x + 1],
         (x - 1).astype(jnp.float32), x.astype(jnp.float32), (x + 1).astype(jnp.float32),
     )
     fy = quadratic_interp_1d(
-        dogs[lvl, z, y - 1, x], d_c, dogs[lvl, z, y + 1, x],
+        dogsf[dl, z, y - 1, x], d_c, dogsf[dl, z, y + 1, x],
         (y - 1).astype(jnp.float32), y.astype(jnp.float32), (y + 1).astype(jnp.float32),
     )
     fz = quadratic_interp_1d(
-        dogs[lvl, z - 1, y, x], d_c, dogs[lvl, z + 1, y, x],
+        dogsf[dl, z - 1, y, x], d_c, dogsf[dl, z + 1, y, x],
         (z - 1).astype(jnp.float32), z.astype(jnp.float32), (z + 1).astype(jnp.float32),
     )
     # scale refinement across DoG levels at the integer voxel, x2
     # (generateFeatures3D_efficient, MultiScale.cpp:1376-1381)
-    d_lo = dogs[lvl - 1, z, y, x]
-    d_hi = dogs[lvl + 1, z, y, x]
+    d_lo = dogsf[dl - 1, z, y, x]
+    d_hi = dogsf[dl + 1, z, y, x]
     scale = 2.0 * quadratic_interp_1d(d_lo, d_c, d_hi, sig[lvl - 1], sig[lvl], sig[lvl + 1])
 
     # subpixel center shift (MultiScale.cpp:1384-1386)
@@ -226,7 +239,6 @@ def gather_stage(gstack, dogs, lvl, zyx, valid, sigmas: Tuple[float, ...]):
 
     # bounds test (sampleImage3D, MultiScale.cpp:2630-2643)
     rad_max = jnp.floor(2.0 * scale + 2.0)
-    zd, yd, xd = dogs.shape[1:]
     dims = jnp.asarray([xd, yd, zd], dtype=jnp.float32)
     in_bounds = jnp.all((xyz - rad_max[:, None] >= 0) & (xyz + rad_max[:, None] < dims), axis=-1)
     keep = valid & in_bounds
@@ -236,9 +248,17 @@ def gather_stage(gstack, dogs, lvl, zyx, valid, sigmas: Tuple[float, ...]):
     # boxed separable sampling — exact for in-bounds (kept) candidates
     from sift3d.kernels.patch import sample_patches_identity_boxed
 
-    patches = sample_patches_identity_boxed(gstack, lvl, xyz, scale)
+    ngl = gstacks.shape[1]
+    gstackf = gstacks.reshape(b * ngl, zd, yd, xd)
+    patches = sample_patches_identity_boxed(gstackf, vi * ngl + lvl, xyz, scale)
 
     return xyz, scale, keep, patches
+
+
+def gather_stage(gstack, dogs, lvl, zyx, valid, sigmas: Tuple[float, ...]):
+    """Single-volume gather_stage (tests/profiling); see gather_stage_union."""
+    vi = jnp.zeros_like(lvl)
+    return gather_stage_union(gstack[None], dogs[None], vi, lvl, zyx, valid, sigmas)
 
 
 # ---------------------------------------------------------------------------
@@ -277,13 +297,13 @@ def compact_stage(keep_rows, kbucket: int):
 
 
 @functools.partial(jax.jit, static_argnames=("kbucket",))
-def select_stage(keep_rows, pn, eigs, eig_ori, xyz, scale, lvl, sign, kbucket: int):
+def select_stage(keep_rows, vi, pn, eigs, eig_ori, xyz, scale, lvl, sign, kbucket: int):
     """Compact all per-candidate arrays down to the survivor set in one
     program (one compile per shape-bucket combination)."""
     kidx, kvalid = compact_stage(keep_rows, kbucket)
     return (
-        kvalid, pn[kidx], eigs[kidx], eig_ori[kidx], xyz[kidx], scale[kidx],
-        lvl[kidx], sign[kidx],
+        kvalid, vi[kidx], pn[kidx], eigs[kidx], eig_ori[kidx], xyz[kidx],
+        scale[kidx], lvl[kidx], sign[kidx],
     )
 
 
@@ -389,8 +409,8 @@ def emit_count_stage(keep, ori_valid, cfg: SiftConfig, reoriented: bool = True):
     return slots.sum()
 
 
-def _pack_rows(order_key, xyz, scale, eigs, ori, info):
-    """[N, 18] packed rows: x y z scale eigs*3 ori*9 info order_key."""
+def _pack_rows(order_key, vi, xyz, scale, eigs, ori, info):
+    """[N, 19] packed rows: x y z scale eigs*3 ori*9 info order_key vi."""
     return jnp.concatenate(
         [
             xyz,
@@ -399,13 +419,14 @@ def _pack_rows(order_key, xyz, scale, eigs, ori, info):
             ori.reshape(-1, 9),
             info.astype(jnp.float32)[:, None],
             order_key.astype(jnp.float32)[:, None],
+            vi.astype(jnp.float32)[:, None],
         ],
         axis=1,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def pack_unoriented_stage(kvalid, xyz, scale, eigs, eig_ori, sign, cfg: SiftConfig):
+def pack_unoriented_stage(kvalid, vi, xyz, scale, eigs, eig_ori, sign, cfg: SiftConfig):
     """Packed rows for the unoriented features (one per kept candidate).
 
     Their patches are the identity-orientation patches the gather stage
@@ -417,20 +438,21 @@ def pack_unoriented_stage(kvalid, xyz, scale, eigs, eig_ori, sign, cfg: SiftConf
     s = cfg.max_primary_orientations * cfg.max_secondary_orientations
     info = jnp.where(sign > 0, INFO_FLAG_MIN0MAX1, 0).astype(jnp.uint32)
     key = jnp.arange(c, dtype=jnp.int32) * (1 + s)
-    packed = _pack_rows(key, xyz, scale, eigs, eig_ori, info)
+    packed = _pack_rows(key, vi, xyz, scale, eigs, eig_ori, info)
     # invalidate padding rows via the order key (host drops key < 0)
     return jnp.where(kvalid[:, None], packed, -1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "emit_cap"))
 def emit_reoriented_stage(
-    gstack, lvl, xyz, scale, kvalid, sign, eigs, ori, ori_valid,
+    gstacks, vi, lvl, xyz, scale, kvalid, sign, eigs, ori, ori_valid,
     cfg: SiftConfig, emit_cap: int,
 ):
     """Device-compacted reoriented rows + their freshly resampled patches.
 
     Only these rows pay the rotated-patch gather cost; the unoriented rows
-    reuse the gather-stage patches (pack_unoriented_stage).
+    reuse the gather-stage patches (pack_unoriented_stage). gstacks is the
+    batch [B, 6, Z, Y, X]; vi indexes candidates into it.
     """
     from sift3d.core.featureset import INFO_FLAG_MIN0MAX1, INFO_FLAG_REORIENT
 
@@ -450,6 +472,7 @@ def emit_reoriented_stage(
     row_scale = scale[cand]
     row_eigs = eigs[cand]
     row_lvl = lvl[cand]
+    row_vi = vi[cand]
     row_ori = ori.reshape(c, s, 3, 3)[cand, slot]
     row_info = jnp.where(sign[cand] > 0, INFO_FLAG_MIN0MAX1, 0).astype(jnp.uint32)
     row_info = row_info | jnp.uint32(INFO_FLAG_REORIENT)
@@ -457,8 +480,12 @@ def emit_reoriented_stage(
 
     from sift3d.kernels.patch import sample_patches_rotated_boxed
 
-    patches = sample_patches_rotated_boxed(gstack, row_lvl, row_xyz, row_scale, row_ori)
-    packed = _pack_rows(key, row_xyz, row_scale, row_eigs, row_ori, row_info)
+    b, ngl = gstacks.shape[0], gstacks.shape[1]
+    gstackf = gstacks.reshape((b * ngl,) + gstacks.shape[2:])
+    patches = sample_patches_rotated_boxed(
+        gstackf, row_vi * ngl + row_lvl, row_xyz, row_scale, row_ori
+    )
+    packed = _pack_rows(key, row_vi, row_xyz, row_scale, row_eigs, row_ori, row_info)
     packed = jnp.where(row_valid[:, None], packed, -1.0)
     return count, packed, patches
 

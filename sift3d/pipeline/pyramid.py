@@ -33,26 +33,57 @@ from sift3d.kernels.resample import subsample_2x
 
 
 class OctaveResult(NamedTuple):
-    gstack: jnp.ndarray  # [6, Z, Y, X]
-    dogs: jnp.ndarray  # [5, Z, Y, X]
-    mask: jnp.ndarray  # [3, Z, Y, X] int8 (+1 peak / -1 valley)
-    next_base: jnp.ndarray  # [Z/2, Y/2, X/2]
+    gstack: jnp.ndarray  # [6, Z, Y, X]  (batched: [B, 6, Z, Y, X])
+    dogs: jnp.ndarray  # [5, Z, Y, X]  (batched: [B, 5, Z, Y, X])
+    mask: jnp.ndarray  # [3, Z, Y, X] int8 +1 peak / -1 valley ([B, 3, ...])
+    next_base: jnp.ndarray  # [Z/2, Y/2, X/2]  ([B, Z/2, Y/2, X/2])
+
+
+def _blur(vol, sigma, precision):
+    """Per-level blur: banded MXU matmuls by default.
+
+    A fused 3-axis Pallas kernel exists (kernels/gauss_pallas.py) but
+    measured *slower* in-chain at T1 size (3.2 ms vs 2.7 ms per blur on
+    v5e; see PERFORMANCE.md) — XLA's banded-matmul lowering already
+    saturates the bandwidth bound. Opt in with SIFT3D_PALLAS_BLUR=1 for
+    re-measurement on other hardware.
+    """
+    import os
+
+    if (
+        vol.ndim == 3
+        and jax.default_backend() == "tpu"
+        and os.environ.get("SIFT3D_PALLAS_BLUR")
+    ):
+        from sift3d.kernels.gauss_pallas import blur3d_pallas
+
+        return blur3d_pallas(vol, sigma, precision)
+    return gauss.blur3d(vol, sigma, precision)
 
 
 def octave_core(base: jnp.ndarray, cfg: SiftConfig):
-    """One octave: blur chain + DoGs + fused extrema mask + 2x subsample."""
+    """One octave: blur chain + DoGs + fused extrema mask + 2x subsample.
+
+    `base` may be a single [Z, Y, X] volume or a batch [B, Z, Y, X]; all
+    kernels are batch-general, so a whole batch of volumes advances
+    through the octave in ONE compiled program — on the tunnel runtime
+    the per-dispatch host latency (~30 ms) dominates octave compute, so
+    batching dispatches is the main pyramid-throughput lever.
+    """
     inc = cfg.incremental_sigmas()
     levels = [base]
     for j in range(1, cfg.blurs_total):
-        levels.append(gauss.blur3d(levels[-1], inc[j - 1], cfg.blur_precision))
-    gstack = jnp.stack(levels)
-    dogs = gstack[:-1] - gstack[1:]
+        levels.append(_blur(levels[-1], inc[j - 1], cfg.blur_precision))
+    gstack = jnp.stack(levels, axis=-4)  # level dim before Z, Y, X
+    dogs = gstack[..., :-1, :, :, :] - gstack[..., 1:, :, :, :]
     # Pallas sum-of-sign stencil on TPU (17x the lax version); lax
     # elsewhere (CPU tests / other backends)
-    if jax.default_backend() == "tpu" and dogs.shape[0] == 5:
+    if jax.default_backend() == "tpu" and dogs.shape[-4] == 5:
         from sift3d.kernels.extrema_pallas import extrema_mask_pallas
 
         mask = extrema_mask_pallas(dogs)
+    elif dogs.ndim == 5:
+        mask = jax.vmap(extrema_mask)(dogs)
     else:
         mask = extrema_mask(dogs)
     next_base = subsample_2x(levels[cfg.blurs_per_octave])
@@ -71,7 +102,7 @@ def initial_blur(img: jnp.ndarray, cfg: SiftConfig, initial_image_scale: float =
     if initial_image_scale > 0:
         sigma_init = sigma_init / initial_image_scale
     extra = math.sqrt(max(cfg.sigma_base**2 - sigma_init**2, 0.0))
-    return gauss.blur3d(img, extra, cfg.blur_precision)
+    return _blur(img, extra, cfg.blur_precision)
 
 
 def num_octaves(shape_zyx, cfg: SiftConfig) -> int:

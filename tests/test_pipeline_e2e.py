@@ -107,3 +107,27 @@ def test_descriptors_are_ranks(cfg):
     # rank-normalized descriptors are permutations of 0..63
     for i in range(min(5, len(feats))):
         np.testing.assert_array_equal(np.sort(feats.desc[i]), np.arange(64))
+
+
+def test_extract_many_union_matches_single(cfg):
+    """A same-shape batch (ONE union program per octave) must produce
+    byte-identical features, in the same order, as per-volume extraction;
+    mixed shapes must group correctly."""
+    from sift3d.pipeline.extract import extract_features_many
+
+    rng = np.random.default_rng(3)
+    v1 = _blob_volume(blobs=(((24, 24, 24), 3.0, 1.0), ((12, 34, 20), 2.2, -0.8)))
+    v2 = _blob_volume(blobs=(((30, 14, 26), 2.6, 1.2), ((20, 20, 36), 3.4, 0.9)))
+    v3 = _blob_volume(dims=(40, 44, 40), blobs=(((20, 22, 20), 3.0, 1.0),))
+    v1 += 0.01 * rng.standard_normal(v1.shape).astype(np.float32)
+    v2 += 0.01 * rng.standard_normal(v2.shape).astype(np.float32)
+
+    singles = [extract_features(v, cfg) for v in (v1, v2, v3)]
+    many = extract_features_many([v1, v2, v3], cfg)
+    for got, want in zip(many, singles):
+        assert len(got) == len(want)
+        np.testing.assert_allclose(got.xyz, want.xyz, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got.scale, want.scale, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(got.info, want.info)
+        np.testing.assert_allclose(got.ori, want.ori, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(got.desc, want.desc)
