@@ -88,6 +88,36 @@ def _compact_mask(mask: jnp.ndarray, size: int):
     return jax.vmap(lambda m: _compact_mask_one(m, size))(mask)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_oct", "sizes", "initial_image_scale")
+)
+def _phase1_program(stack, cfg, n_oct: int, sizes, initial_image_scale: float):
+    """The ENTIRE dense phase as one compiled program: initial blur, every
+    octave's blur chain + DoGs + extrema stencil, and the hierarchical
+    candidate compaction of every octave's mask.
+
+    One dispatch replaces the former 1 + 2*n_oct (initial blur + per-octave
+    step/compact): on the tunnel runtime each host call costs ~30 ms, which
+    at six octaves was ~40% of steady-state batch time. All octave shapes
+    are static, so XLA sees one straight-line graph.
+
+    Returns a list of per-octave dicts; counts is [n_oct, B] so ONE small
+    sync serves every bucket decision.
+    """
+    base = pyramid.initial_blur_core(stack, cfg, initial_image_scale)
+    outs = []
+    counts = []
+    for octave in range(n_oct):
+        gstack, dogs, mask, next_base = pyramid.octave_core(base, cfg)
+        gidx, blocks, gc, _ = jax.vmap(
+            lambda m, s=sizes[octave]: _compact_mask_one(m, s)
+        )(mask)
+        outs.append(dict(gstack=gstack, dogs=dogs, mask=mask, gidx=gidx, blocks=blocks))
+        counts.append(gc)
+        base = next_base
+    return outs, jnp.stack(counts)
+
+
 def _decode_candidates_np(mask_shape, gidx, blocks, group_count: int, size: int, fetch_mask):
     """Decode downloaded group-compacted entries to (lvl0, z, y, x, sign)."""
     nl, zd, yd, xd = mask_shape
@@ -166,23 +196,30 @@ def extract_features_many(
     for i, a in enumerate(arrs):
         groups.setdefault(tuple(a.shape), []).append(i)
 
-    # phase 1: dispatch every (group, octave) batched pyramid + extrema
-    # compaction without touching the host
-    octave_results = []  # entries: (vol_ids, octave, res, compact, size)
+    # phase 1: ONE dispatch per shape group runs the whole dense phase —
+    # initial blur, all octaves' blur/DoG/extrema, and candidate
+    # compaction (see _phase1_program)
+    octave_results = []  # entries: (vol_ids, octave, res-dict, size)
+    gcount_list = []
     cand_cap = 8 * cfg.max_candidates_per_level
     for shape, vol_ids in groups.items():
         stack = jnp.stack([arrs[i] for i in vol_ids])
-        with timer.stage("initial_blur"):
-            base = pyramid.initial_blur(stack, cfg, initial_image_scale)
         n_oct = pyramid.num_octaves(shape, cfg)
+        sizes = []
+        dz, dy, dx = shape
         for octave in range(n_oct):
-            with timer.stage(f"octave{octave}/pyramid"):
-                res = pyramid.octave_step(base, cfg)
-                per_vol_elems = int(np.prod(res.mask.shape[1:]))
-                size = min(cand_cap, -(-per_vol_elems // _GROUP))
-                compact = _compact_mask(res.mask, size)
-                octave_results.append((vol_ids, octave, res, compact, size))
-            base = res.next_base
+            per_vol_elems = 3 * dz * dy * dx
+            sizes.append(min(cand_cap, -(-per_vol_elems // _GROUP)))
+            dz, dy, dx = dz // 2, dy // 2, dx // 2
+        if n_oct == 0:
+            continue
+        with timer.stage("phase1"):
+            outs, counts = _phase1_program(
+                stack, cfg, n_oct, tuple(sizes), initial_image_scale
+            )
+        for octave, o in enumerate(outs):
+            octave_results.append((vol_ids, octave, o, sizes[octave]))
+        gcount_list.append(counts)
 
     if not octave_results:
         return [FeatureSet.empty(0) for _ in range(n_vol)]
@@ -191,18 +228,18 @@ def extract_features_many(
     # group count, then one batched device_get of group indices + mask
     # bytes, sliced to power-of-2 buckets of the actual hit counts
     with timer.stage("candidate_counts"):
-        gcounts = np.asarray(
-            jnp.concatenate([c[2] for (_, _, _, c, _) in octave_results])
+        gcounts = np.concatenate(
+            [np.asarray(c).reshape(-1) for c in jax.device_get(gcount_list)]
         ).astype(np.int64)
     with timer.stage("candidate_download"):
         fetch = []
         pos = 0
         buckets = []
-        for (vol_ids, _, _, c, size) in octave_results:
+        for (vol_ids, _, o, size) in octave_results:
             nb = len(vol_ids)
             gb = _bucket(int(gcounts[pos : pos + nb].max()), size)
             buckets.append((pos, gb))
-            fetch += [c[0][:, :gb], c[1][:, :gb]]
+            fetch += [o["gidx"][:, :gb], o["blocks"][:, :gb]]
             pos += nb
         host = jax.device_get(fetch)
         idx_np = host[0::2]
@@ -214,15 +251,15 @@ def extract_features_many(
     # per-volume reference emission order survives the union split.
     chunk = cfg.union_chunk
     pending = []
-    for oi, (vol_ids, octave, res, _, size) in enumerate(octave_results):
+    for oi, (vol_ids, octave, res, size) in enumerate(octave_results):
         with timer.stage(f"octave{octave}/candidates"):
-            mask_shape = res.mask.shape[1:]
+            mask_shape = res["mask"].shape[1:]
             parts = []
             for b in range(len(vol_ids)):
                 pos, gb = buckets[oi]
                 lvls0, zs, ys, xs, signs = _decode_candidates_np(
                     mask_shape, idx_np[oi][b], blocks_np[oi][b],
-                    int(gcounts[pos + b]), size, lambda b=b: res.mask[b],
+                    int(gcounts[pos + b]), size, lambda b=b: res["mask"][b],
                 )
                 if lvls0.size == 0:
                     continue
@@ -251,33 +288,31 @@ def extract_features_many(
             end = min(start + chunk, n_cand)
             # pad to the smallest shape bucket: padded capacity is wasted
             # compute, and most octaves carry far fewer candidates than
-            # the chunk cap
+            # the chunk cap. Padding rows have sign == 0 (invalid).
             cap = _bucket(end - start, chunk)
-            c_vi = _pad_to(vis[start:end], cap, fill=0)
-            c_lvl = _pad_to(dog_lvl[start:end], cap, fill=1)
-            c_zyx = _pad_to(
-                np.stack([zs[start:end], ys[start:end], xs[start:end]], axis=1), cap, fill=1
+            cand = _pad_to(
+                np.stack(
+                    [
+                        vis[start:end], dog_lvl[start:end], zs[start:end],
+                        ys[start:end], xs[start:end], signs[start:end],
+                    ],
+                    axis=1,
+                ).astype(np.int32),
+                cap,
+                fill=0,
             )
-            c_sign = _pad_to(signs[start:end], cap, fill=0)
-            c_valid = np.zeros((cap,), dtype=bool)
-            c_valid[: end - start] = True
+            cand[end - start :, 1] = 1  # padding level inside gather range
 
-            c_vi_d = jnp.asarray(c_vi)
-            c_lvl_d = jnp.asarray(c_lvl)
-            c_sign_d = jnp.asarray(c_sign)
+            cand_d = jnp.asarray(cand)
             with timer.stage(f"octave{octave}/dispatch"):
-                xyz, scale, keep, patches = fstage.gather_stage_union(
-                    res.gstack, res.dogs, c_vi_d, c_lvl_d, jnp.asarray(c_zyx),
-                    jnp.asarray(c_valid), sigmas,
+                xyz, scale, pn, eigs, eig_ori, keep_rows, kept = fstage.gather_eig_stage(
+                    res["gstack"], res["dogs"], cand_d, sigmas, cfg
                 )
-                pn, eigs, eig_ori, eig_keep = fstage.eig_stage(patches, cfg)
-                keep_rows = keep & eig_keep
             pending.append(
                 dict(
-                    vol_ids=vol_ids, octave=octave, gstack=res.gstack,
-                    kept=keep_rows.sum(), keep_rows=keep_rows, pn=pn, eigs=eigs,
-                    eig_ori=eig_ori, xyz=xyz, scale=scale, vi=c_vi_d,
-                    lvl=c_lvl_d, sign=c_sign_d,
+                    vol_ids=vol_ids, octave=octave, gstack=res["gstack"],
+                    kept=kept, keep_rows=keep_rows, pn=pn, eigs=eigs,
+                    eig_ori=eig_ori, xyz=xyz, scale=scale, cand=cand_d,
                 )
             )
 
@@ -294,18 +329,18 @@ def extract_features_many(
     for p, kept in zip(pending, kepts):
         kb = _bucket(int(kept), chunk)
         (
-            kvalid, vi_k, pn_k, eigs_k, eig_ori_k, xyz_k, scale_k, lvl_k, sign_k
+            kvalid, cand_k, pn_k, eigs_k, eig_ori_k, xyz_k, scale_k
         ) = fstage.select_stage(
-            p["keep_rows"], p["vi"], p["pn"], p["eigs"], p["eig_ori"], p["xyz"],
-            p["scale"], p["lvl"], p["sign"], kb,
+            p["keep_rows"], p["cand"], p["pn"], p["eigs"], p["eig_ori"], p["xyz"],
+            p["scale"], kb,
         )
         o = fstage.canonical_stage(pn_k, cfg)
         p["n_kept"] = int(kept)
         p["count"] = fstage.emit_count_stage(kvalid, o["ori_valid"], cfg, reoriented)
         p["pn_k"] = pn_k
-        p["a_args"] = (kvalid, vi_k, xyz_k, scale_k, eigs_k, eig_ori_k, sign_k)
+        p["a_args"] = (kvalid, cand_k, xyz_k, scale_k, eigs_k, eig_ori_k)
         p["b_args"] = (
-            p["gstack"], vi_k, lvl_k, xyz_k, scale_k, kvalid, sign_k, eigs_k,
+            p["gstack"], cand_k, xyz_k, scale_k, kvalid, eigs_k,
             o["ori"], o["ori_valid"],
         )
 
@@ -317,34 +352,40 @@ def extract_features_many(
     # resampling); only reoriented rows pay the rotated-patch gathers
     with timer.stage("row_counts"):
         counts = np.asarray(jnp.stack([p["count"] for p in pending])).astype(np.int64)
-    fetch = []
-    for p, n_rows in zip(pending, counts):
-        p["packed_a"] = fstage.pack_unoriented_stage(*p["a_args"], cfg)
-        p["desc_a"] = fstage.descriptor_stage(p["pn_k"], descriptor).astype(jnp.uint8)
-        fetch += [p["packed_a"], p["desc_a"]]
+    packed_list, desc_list, manifest = [], [], []
+    for pi, (p, n_rows) in enumerate(zip(pending, counts)):
+        pa = fstage.pack_unoriented_stage(*p["a_args"], cfg)
+        da = fstage.descriptor_stage(p["pn_k"], descriptor).astype(jnp.uint8)
+        packed_list.append(pa)
+        desc_list.append(da)
+        manifest.append((pi, pa.shape[0]))
         n_b = int(n_rows) - p["n_kept"]
         if reoriented and n_b > 0:
             cap_b = _bucket(n_b, 16 * chunk)
             _, packed_b, patches_b = fstage.emit_reoriented_stage(
                 *p["b_args"], cfg, cap_b
             )
-            p["packed_b"] = packed_b
-            p["desc_b"] = fstage.descriptor_stage(patches_b, descriptor).astype(jnp.uint8)
-            fetch += [p["packed_b"], p["desc_b"]]
-        else:
-            p["packed_b"] = None
+            db = fstage.descriptor_stage(patches_b, descriptor).astype(jnp.uint8)
+            packed_list.append(packed_b)
+            desc_list.append(db)
+            manifest.append((pi, cap_b))
 
+    # ONE device-side concatenation of every chunk's rows + descriptors:
+    # the final transfer is 2 arrays instead of 2 per chunk (each array of
+    # a multi-array device_get pays its own tunnel round trip)
     with timer.stage("download"):
-        host = jax.device_get(fetch)
-    it = iter(host)
+        host_p, host_d = jax.device_get(
+            [jnp.concatenate(packed_list), jnp.concatenate(desc_list)]
+        )
+    blocks: dict = {}
+    off = 0
+    for pi, nrows in manifest:
+        blocks.setdefault(pi, []).append((off, nrows))
+        off += nrows
     per_vol = [[] for _ in range(n_vol)]
-    for p in pending:
-        pa, da = next(it), next(it)
-        bufs, descs = [pa], [da]
-        if p["packed_b"] is not None:
-            pb, db = next(it), next(it)
-            bufs.append(pb)
-            descs.append(db)
+    for pi, p in enumerate(pending):
+        bufs = [host_p[o : o + n] for o, n in blocks[pi]]
+        descs = [host_d[o : o + n] for o, n in blocks[pi]]
         buf = np.concatenate(bufs)
         dsc = np.concatenate(descs)
         keep_mask = buf[:, 17] >= 0

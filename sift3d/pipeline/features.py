@@ -261,6 +261,27 @@ def gather_stage(gstack, dogs, lvl, zyx, valid, sigmas: Tuple[float, ...]):
     return gather_stage_union(gstack[None], dogs[None], vi, lvl, zyx, valid, sigmas)
 
 
+@functools.partial(jax.jit, static_argnames=("sigmas", "cfg"))
+def gather_eig_stage(gstacks, dogs, cand, sigmas: Tuple[float, ...], cfg: SiftConfig):
+    """Fused gather + eig front half, fed by ONE packed candidate upload.
+
+    cand: [C, 6] int32 columns (vi, lvl, z, y, x, sign); valid = sign != 0.
+    One host upload and one dispatch replace the former five uploads and
+    three dispatches per (group, octave) — each host interaction costs a
+    tunnel round trip. Returns (xyz, scale, pn, eigs, eig_ori, keep_rows,
+    kept_count).
+    """
+    vi, lvl = cand[:, 0], cand[:, 1]
+    zyx = cand[:, 2:5]
+    valid = cand[:, 5] != 0
+    xyz, scale, keep, patches = gather_stage_union(
+        gstacks, dogs, vi, lvl, zyx, valid, sigmas
+    )
+    pn, eigs, eig_ori, eig_keep = eig_stage(patches, cfg)
+    keep_rows = keep & eig_keep
+    return xyz, scale, pn, eigs, eig_ori, keep_rows, keep_rows.sum()
+
+
 # ---------------------------------------------------------------------------
 # Orientation stage (shape-independent)
 # ---------------------------------------------------------------------------
@@ -297,13 +318,14 @@ def compact_stage(keep_rows, kbucket: int):
 
 
 @functools.partial(jax.jit, static_argnames=("kbucket",))
-def select_stage(keep_rows, vi, pn, eigs, eig_ori, xyz, scale, lvl, sign, kbucket: int):
+def select_stage(keep_rows, cand, pn, eigs, eig_ori, xyz, scale, kbucket: int):
     """Compact all per-candidate arrays down to the survivor set in one
-    program (one compile per shape-bucket combination)."""
+    program (one compile per shape-bucket combination). cand is the packed
+    [C, 6] (vi, lvl, z, y, x, sign) candidate table."""
     kidx, kvalid = compact_stage(keep_rows, kbucket)
     return (
-        kvalid, vi[kidx], pn[kidx], eigs[kidx], eig_ori[kidx], xyz[kidx],
-        scale[kidx], lvl[kidx], sign[kidx],
+        kvalid, cand[kidx], pn[kidx], eigs[kidx], eig_ori[kidx], xyz[kidx],
+        scale[kidx],
     )
 
 
@@ -426,7 +448,7 @@ def _pack_rows(order_key, vi, xyz, scale, eigs, ori, info):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def pack_unoriented_stage(kvalid, vi, xyz, scale, eigs, eig_ori, sign, cfg: SiftConfig):
+def pack_unoriented_stage(kvalid, cand, xyz, scale, eigs, eig_ori, cfg: SiftConfig):
     """Packed rows for the unoriented features (one per kept candidate).
 
     Their patches are the identity-orientation patches the gather stage
@@ -434,6 +456,7 @@ def pack_unoriented_stage(kvalid, vi, xyz, scale, eigs, eig_ori, sign, cfg: Sift
     """
     from sift3d.core.featureset import INFO_FLAG_MIN0MAX1
 
+    vi, sign = cand[:, 0], cand[:, 5]
     c = xyz.shape[0]
     s = cfg.max_primary_orientations * cfg.max_secondary_orientations
     info = jnp.where(sign > 0, INFO_FLAG_MIN0MAX1, 0).astype(jnp.uint32)
@@ -445,17 +468,19 @@ def pack_unoriented_stage(kvalid, vi, xyz, scale, eigs, eig_ori, sign, cfg: Sift
 
 @functools.partial(jax.jit, static_argnames=("cfg", "emit_cap"))
 def emit_reoriented_stage(
-    gstacks, vi, lvl, xyz, scale, kvalid, sign, eigs, ori, ori_valid,
+    gstacks, cand, xyz, scale, kvalid, eigs, ori, ori_valid,
     cfg: SiftConfig, emit_cap: int,
 ):
     """Device-compacted reoriented rows + their freshly resampled patches.
 
     Only these rows pay the rotated-patch gather cost; the unoriented rows
     reuse the gather-stage patches (pack_unoriented_stage). gstacks is the
-    batch [B, 6, Z, Y, X]; vi indexes candidates into it.
+    batch [B, 6, Z, Y, X]; cand is the compacted [C, 6] candidate table
+    whose vi column indexes into it.
     """
     from sift3d.core.featureset import INFO_FLAG_MIN0MAX1, INFO_FLAG_REORIENT
 
+    vi, lvl, sign = cand[:, 0], cand[:, 1], cand[:, 5]
     c, k1, k2 = ori_valid.shape
     s = k1 * k2
     ovf = ori_valid.reshape(c, s) & kvalid[:, None]

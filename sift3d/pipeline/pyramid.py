@@ -95,14 +95,18 @@ def octave_step(base: jnp.ndarray, cfg: SiftConfig) -> OctaveResult:
     return OctaveResult(*octave_core(base, cfg))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "initial_image_scale"))
-def initial_blur(img: jnp.ndarray, cfg: SiftConfig, initial_image_scale: float = 1.0):
+def initial_blur_core(img: jnp.ndarray, cfg: SiftConfig, initial_image_scale: float = 1.0):
     """Raise the input image to sigma_base (MultiScale.cpp:288-298)."""
     sigma_init = cfg.sigma_init
     if initial_image_scale > 0:
         sigma_init = sigma_init / initial_image_scale
     extra = math.sqrt(max(cfg.sigma_base**2 - sigma_init**2, 0.0))
     return _blur(img, extra, cfg.blur_precision)
+
+
+initial_blur = functools.partial(jax.jit, static_argnames=("cfg", "initial_image_scale"))(
+    initial_blur_core
+)
 
 
 def num_octaves(shape_zyx, cfg: SiftConfig) -> int:
