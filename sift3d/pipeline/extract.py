@@ -118,6 +118,95 @@ def _phase1_program(stack, cfg, n_oct: int, sizes, initial_image_scale: float):
     return outs, jnp.stack(counts)
 
 
+@functools.partial(jax.jit, static_argnames=("layout", "sigmas", "cfg"))
+def _phase2a_program(stacks, cand_all, layout, sigmas, cfg):
+    """Gather + eig for EVERY candidate chunk of every (group, octave) as
+    one compiled program fed by one packed upload.
+
+    stacks: tuple of (gstack, dogs) per octave-result (octave shapes
+    differ, so they stay separate args). layout: static tuple of
+    (res_index, cap) per chunk; caps sum to cand_all.shape[0]. Each
+    ~100 KB candidate upload and each dispatch costs a tunnel RTT
+    (~30-40 ms); at 6 octaves that was ~0.4 s of pure latency per batch.
+    """
+    outs = {k: [] for k in ("xyz", "scale", "pn", "eigs", "eig_ori", "keep_rows")}
+    kept = []
+    off = 0
+    for res_i, cap in layout:
+        gstack, dogs = stacks[res_i]
+        cand = jax.lax.slice_in_dim(cand_all, off, off + cap)
+        off += cap
+        xyz, scale, pn, eigs, eig_ori, keep_rows, k = fstage.gather_eig_stage(
+            gstack, dogs, cand, sigmas, cfg
+        )
+        for key, v in zip(
+            ("xyz", "scale", "pn", "eigs", "eig_ori", "keep_rows"),
+            (xyz, scale, pn, eigs, eig_ori, keep_rows),
+        ):
+            outs[key].append(v)
+        kept.append(k)
+    res = {k: jnp.concatenate(v) for k, v in outs.items()}
+    res["kept"] = jnp.stack(kept)
+    return res
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "cfg", "reoriented"))
+def _phase2b_program(
+    keep_all, cand_all, pn_all, eigs_all, eig_ori_all, xyz_all, scale_all,
+    layout, cfg, reoriented: bool,
+):
+    """Survivor selection + canonical orientations + emit counts for all
+    chunks in one program. layout: static (offset, cap, kbucket) per
+    surviving chunk. Returns concatenated kbucket-length selections plus
+    per-chunk row counts (the only value the host reads)."""
+    keys = ("kvalid", "cand", "pn", "eigs", "eig_ori", "xyz", "scale", "ori", "ori_valid")
+    outs = {k: [] for k in keys}
+    counts = []
+    for off, cap, kb in layout:
+        sl = slice(off, off + cap)
+        kvalid, cand_k, pn_k, eigs_k, eig_ori_k, xyz_k, scale_k = fstage.select_stage(
+            keep_all[sl], cand_all[sl], pn_all[sl], eigs_all[sl], eig_ori_all[sl],
+            xyz_all[sl], scale_all[sl], kb,
+        )
+        o = fstage.canonical_stage(pn_k, cfg)
+        counts.append(fstage.emit_count_stage(kvalid, o["ori_valid"], cfg, reoriented))
+        for key, v in zip(
+            keys,
+            (kvalid, cand_k, pn_k, eigs_k, eig_ori_k, xyz_k, scale_k, o["ori"], o["ori_valid"]),
+        ):
+            outs[key].append(v)
+    return {k: jnp.concatenate(v) for k, v in outs.items()}, jnp.stack(counts)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layout", "cfg", "descriptor", "reoriented")
+)
+def _phase2c_program(stacks, sel, layout, cfg, descriptor: str, reoriented: bool):
+    """Row packing + descriptors for all chunks in one program: unoriented
+    rows reuse the gather-stage patches; reoriented rows resample rotated
+    patches. layout: static (res_index, koffset, kbucket, reoriented_cap)
+    per chunk. Returns the two concatenated download buffers."""
+    packed, descs = [], []
+    for res_i, koff, kb, cap_b in layout:
+        sl = slice(koff, koff + kb)
+        packed.append(
+            fstage.pack_unoriented_stage(
+                sel["kvalid"][sl], sel["cand"][sl], sel["xyz"][sl], sel["scale"][sl],
+                sel["eigs"][sl], sel["eig_ori"][sl], cfg,
+            )
+        )
+        descs.append(fstage.descriptor_stage(sel["pn"][sl], descriptor).astype(jnp.uint8))
+        if reoriented and cap_b > 0:
+            _, packed_b, patches_b = fstage.emit_reoriented_stage(
+                stacks[res_i][0], sel["cand"][sl], sel["xyz"][sl], sel["scale"][sl],
+                sel["kvalid"][sl], sel["eigs"][sl], sel["ori"][sl], sel["ori_valid"][sl],
+                cfg, cap_b,
+            )
+            packed.append(packed_b)
+            descs.append(fstage.descriptor_stage(patches_b, descriptor).astype(jnp.uint8))
+    return jnp.concatenate(packed), jnp.concatenate(descs)
+
+
 def _decode_candidates_np(mask_shape, gidx, blocks, group_count: int, size: int, fetch_mask):
     """Decode downloaded group-compacted entries to (lvl0, z, y, x, sign)."""
     nl, zd, yd, xd = mask_shape
@@ -245,12 +334,13 @@ def extract_features_many(
         idx_np = host[0::2]
         blocks_np = host[1::2]
 
-    # phase 2: decode candidates and dispatch the whole feature stage for
-    # every chunk of every (group, octave) union without waiting on any
-    # result. Candidates are ordered (volume, level, sign, z, y, x) so the
-    # per-volume reference emission order survives the union split.
+    # phase 2: decode candidates on the host into per-chunk packed tables.
+    # Candidates are ordered (volume, level, sign, z, y, x) so the
+    # per-volume reference emission order survives the union split. ALL
+    # chunks then ship in ONE upload and run in ONE program (phase 2a).
     chunk = cfg.union_chunk
-    pending = []
+    cand_parts = []  # packed [cap, 6] host tables, dispatch order
+    chunk_meta = []  # (octave_result index, cap)
     for oi, (vol_ids, octave, res, size) in enumerate(octave_results):
         with timer.stage(f"octave{octave}/candidates"):
             mask_shape = res["mask"].shape[1:]
@@ -279,11 +369,9 @@ def extract_features_many(
                 )
             if not parts:
                 continue
-            vis, dog_lvl, zs, ys, xs, signs = (
-                np.concatenate([p[k] for p in parts]) for k in range(6)
-            )
+            cols = [np.concatenate([p[k] for p in parts]) for k in range(6)]
 
-        n_cand = dog_lvl.shape[0]
+        n_cand = cols[1].shape[0]
         for start in range(0, n_cand, chunk):
             end = min(start + chunk, n_cand)
             # pad to the smallest shape bucket: padded capacity is wasted
@@ -291,97 +379,72 @@ def extract_features_many(
             # the chunk cap. Padding rows have sign == 0 (invalid).
             cap = _bucket(end - start, chunk)
             cand = _pad_to(
-                np.stack(
-                    [
-                        vis[start:end], dog_lvl[start:end], zs[start:end],
-                        ys[start:end], xs[start:end], signs[start:end],
-                    ],
-                    axis=1,
-                ).astype(np.int32),
+                np.stack([c[start:end] for c in cols], axis=1).astype(np.int32),
                 cap,
                 fill=0,
             )
             cand[end - start :, 1] = 1  # padding level inside gather range
-
-            cand_d = jnp.asarray(cand)
-            with timer.stage(f"octave{octave}/dispatch"):
-                xyz, scale, pn, eigs, eig_ori, keep_rows, kept = fstage.gather_eig_stage(
-                    res["gstack"], res["dogs"], cand_d, sigmas, cfg
-                )
-            pending.append(
-                dict(
-                    vol_ids=vol_ids, octave=octave, gstack=res["gstack"],
-                    kept=kept, keep_rows=keep_rows, pn=pn, eigs=eigs,
-                    eig_ori=eig_ori, xyz=xyz, scale=scale, cand=cand_d,
-                )
-            )
+            cand_parts.append(cand)
+            chunk_meta.append((oi, cap))
 
     empty_result = [FeatureSet.empty(0) for _ in range(n_vol)]
-    if not pending:
+    if not cand_parts:
         return empty_result
+
+    stacks = tuple((res["gstack"], res["dogs"]) for (_, _, res, _) in octave_results)
+    layout_a = tuple(chunk_meta)
+    with timer.stage("cand_upload"):
+        cand_all = jnp.asarray(np.concatenate(cand_parts, axis=0))
+    with timer.stage("phase2a"):
+        r2a = _phase2a_program(stacks, cand_all, layout_a, sigmas, cfg)
 
     # phase 2b: one sync for all chunk survivor counts, then run the
     # expensive canonical-orientation histograms only on survivors
     with timer.stage("kept_counts"):
-        kepts = np.asarray(jnp.stack([p["kept"] for p in pending])).astype(np.int64)
-    pending = [p for p, k in zip(pending, kepts) if k > 0]
-    kepts = kepts[kepts > 0]
-    for p, kept in zip(pending, kepts):
-        kb = _bucket(int(kept), chunk)
-        (
-            kvalid, cand_k, pn_k, eigs_k, eig_ori_k, xyz_k, scale_k
-        ) = fstage.select_stage(
-            p["keep_rows"], p["cand"], p["pn"], p["eigs"], p["eig_ori"], p["xyz"],
-            p["scale"], kb,
-        )
-        o = fstage.canonical_stage(pn_k, cfg)
-        p["n_kept"] = int(kept)
-        p["count"] = fstage.emit_count_stage(kvalid, o["ori_valid"], cfg, reoriented)
-        p["pn_k"] = pn_k
-        p["a_args"] = (kvalid, cand_k, xyz_k, scale_k, eigs_k, eig_ori_k)
-        p["b_args"] = (
-            p["gstack"], cand_k, xyz_k, scale_k, kvalid, eigs_k,
-            o["ori"], o["ori_valid"],
-        )
-
-    if not pending:
+        kepts = np.asarray(r2a["kept"]).astype(np.int64)
+    a_offs = np.concatenate([[0], np.cumsum([cap for _, cap in chunk_meta])])
+    surv = [i for i in range(len(chunk_meta)) if kepts[i] > 0]
+    if not surv:
         return empty_result
-
-    # phase 2c: one sync for all chunk row counts, then dispatch the split
-    # emission: unoriented rows reuse the gather-stage patches (no
-    # resampling); only reoriented rows pay the rotated-patch gathers
-    with timer.stage("row_counts"):
-        counts = np.asarray(jnp.stack([p["count"] for p in pending])).astype(np.int64)
-    packed_list, desc_list, manifest = [], [], []
-    for pi, (p, n_rows) in enumerate(zip(pending, counts)):
-        pa = fstage.pack_unoriented_stage(*p["a_args"], cfg)
-        da = fstage.descriptor_stage(p["pn_k"], descriptor).astype(jnp.uint8)
-        packed_list.append(pa)
-        desc_list.append(da)
-        manifest.append((pi, pa.shape[0]))
-        n_b = int(n_rows) - p["n_kept"]
-        if reoriented and n_b > 0:
-            cap_b = _bucket(n_b, 16 * chunk)
-            _, packed_b, patches_b = fstage.emit_reoriented_stage(
-                *p["b_args"], cfg, cap_b
-            )
-            db = fstage.descriptor_stage(patches_b, descriptor).astype(jnp.uint8)
-            packed_list.append(packed_b)
-            desc_list.append(db)
-            manifest.append((pi, cap_b))
-
-    # ONE device-side concatenation of every chunk's rows + descriptors:
-    # the final transfer is 2 arrays instead of 2 per chunk (each array of
-    # a multi-array device_get pays its own tunnel round trip)
-    with timer.stage("download"):
-        host_p, host_d = jax.device_get(
-            [jnp.concatenate(packed_list), jnp.concatenate(desc_list)]
+    layout_b = tuple(
+        (int(a_offs[i]), chunk_meta[i][1], _bucket(int(kepts[i]), chunk)) for i in surv
+    )
+    with timer.stage("phase2b"):
+        sel, counts_d = _phase2b_program(
+            r2a["keep_rows"], cand_all, r2a["pn"], r2a["eigs"], r2a["eig_ori"],
+            r2a["xyz"], r2a["scale"], layout_b, cfg, reoriented,
         )
+
+    # phase 2c: one sync for all chunk row counts, then the split emission:
+    # unoriented rows reuse the gather-stage patches (no resampling); only
+    # reoriented rows pay the rotated-patch resampling
+    with timer.stage("row_counts"):
+        counts = np.asarray(counts_d).astype(np.int64)
+    k_offs = np.concatenate([[0], np.cumsum([kb for _, _, kb in layout_b])])
+    layout_c = []
     blocks: dict = {}
-    off = 0
-    for pi, nrows in manifest:
-        blocks.setdefault(pi, []).append((off, nrows))
-        off += nrows
+    p_off = 0
+    for j, i in enumerate(surv):
+        kb = layout_b[j][2]
+        n_b = int(counts[j]) - int(kepts[i])
+        cap_b = _bucket(n_b, 16 * chunk) if (reoriented and n_b > 0) else 0
+        layout_c.append((chunk_meta[i][0], int(k_offs[j]), kb, cap_b))
+        blocks[j] = [(p_off, kb)]
+        p_off += kb
+        if cap_b > 0:
+            blocks[j].append((p_off, cap_b))
+            p_off += cap_b
+    with timer.stage("phase2c"):
+        packed_all, desc_all = _phase2c_program(
+            stacks, sel, tuple(layout_c), cfg, descriptor, reoriented
+        )
+    with timer.stage("download"):
+        host_p, host_d = jax.device_get([packed_all, desc_all])
+
+    pending = [
+        dict(vol_ids=octave_results[chunk_meta[i][0]][0], octave=octave_results[chunk_meta[i][0]][1])
+        for i in surv
+    ]
     per_vol = [[] for _ in range(n_vol)]
     for pi, p in enumerate(pending):
         bufs = [host_p[o : o + n] for o, n in blocks[pi]]
@@ -408,3 +471,51 @@ def extract_features_many(
                 )
             )
     return [FeatureSet.concatenate(s) for s in per_vol]
+
+
+def extract_features_stream(
+    imgs,
+    cfg: SiftConfig = DEFAULT_CONFIG,
+    initial_image_scale: float = 1.0,
+    descriptor: str = "goh",
+    reoriented: bool = True,
+    batch_size: int = 8,
+    streams: int = 2,
+):
+    """Extract features from many volumes with double-buffered batches.
+
+    Splits the volumes into `batch_size` batches and runs `streams`
+    extract_features_many calls concurrently on worker threads. The
+    pipeline's host phases (candidate decode, feature assembly) and its
+    blocking device fetches release the GIL, so one batch's host work
+    overlaps another batch's device compute and D2H transfers — the
+    steady-state cost per batch approaches max(host, device) instead of
+    their sum. Device programs from both streams interleave in the one
+    TPU execution queue (no contention: dispatch order is preserved).
+
+    Returns FeatureSets in input order.
+    """
+    import concurrent.futures
+
+    batches = [
+        (start, imgs[start : start + batch_size])
+        for start in range(0, len(imgs), batch_size)
+    ]
+    if len(batches) <= 1 or streams <= 1:
+        return extract_features_many(
+            imgs, cfg, initial_image_scale=initial_image_scale,
+            descriptor=descriptor, reoriented=reoriented,
+        )
+
+    out = [None] * len(imgs)
+    def run(item):
+        start, chunk = item
+        return start, extract_features_many(
+            chunk, cfg, initial_image_scale=initial_image_scale,
+            descriptor=descriptor, reoriented=reoriented,
+        )
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=streams) as ex:
+        for start, feats in ex.map(run, batches):
+            out[start : start + len(feats)] = feats
+    return out

@@ -131,3 +131,26 @@ def test_extract_many_union_matches_single(cfg):
         np.testing.assert_array_equal(got.info, want.info)
         np.testing.assert_allclose(got.ori, want.ori, rtol=1e-4, atol=1e-4)
         np.testing.assert_array_equal(got.desc, want.desc)
+
+
+def test_extract_stream_matches_many(cfg):
+    """The double-buffered thread-pipelined stream must return the same
+    features, in input order, as sequential batch extraction."""
+    from sift3d.pipeline.extract import extract_features_many, extract_features_stream
+
+    rng = np.random.default_rng(11)
+    vols = []
+    for i in range(6):
+        v = _blob_volume(
+            blobs=(((14 + 3 * i, 24, 20), 2.4 + 0.2 * i, 1.0), ((28, 16, 30), 3.0, -0.9))
+        )
+        vols.append(v + 0.01 * rng.standard_normal(v.shape).astype(np.float32))
+
+    want = extract_features_many(vols, cfg)
+    got = extract_features_stream(vols, cfg, batch_size=2, streams=2)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        np.testing.assert_allclose(g.xyz, w.xyz, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(g.info, w.info)
+        np.testing.assert_array_equal(g.desc, w.desc)
