@@ -254,7 +254,11 @@ def sample_patches_rotated_boxed(
         a = w0[..., None] * (bins == i0[..., None])
         return a + (1.0 - w0)[..., None] * (bins == (i0 + 1)[..., None])
 
-    kw = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    # bf16x3 (HIGH) multiply passes: the box contraction is FLOP-bound on
+    # the MXU (~180 GFLOP per 256-row chunk at box 64) and true-f32
+    # (HIGHEST) runs ~3x slower; ~2^-21 relative error is far below the
+    # trilinear model error and these patches feed only descriptors
+    kw = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH)
     v_total = coords.shape[1]
     cv = 121  # 1331 = 11 point-chunks of 121
     n_vc = v_total // cv
