@@ -20,10 +20,13 @@ so this only affects rotated patch corners.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from sift3d.kernels.resample import trilinear_sample
 
@@ -300,6 +303,143 @@ def sample_patches_rotated_boxed(
     )
     vals = jax.lax.map(row_chunk, args)  # [n_rc, rc, V]
     return vals.reshape(r, PATCH_DIM, PATCH_DIM, PATCH_DIM)
+
+
+_VPAD = 1536  # 1331 patch points padded to 6 lane-chunks of 256
+_VCHUNK = 256
+
+
+def _rot_kernel(by: int, bx: int, lz_ref, ly_ref, lx_ref, box_ref, out_ref):
+    """Per (row, point-chunk) step: trilinear sampling of 128 rotated patch
+    points from the row's VMEM-resident bounding box.
+
+    The XLA formulation of the same contraction round-trips its
+    [rows, points, by, bx] transients through HBM (~45 bytes of HBM
+    traffic per FLOP — measured 454 ms at an 8192-row emission). Here the
+    in-plane (y, x) taps combine into one 4-sparse [by*bx, 128] weight
+    built from sublane broadcasts, a single MXU matmul contracts it with
+    the box, and the z taps finish as a small VPU reduce — one matmul per
+    point-chunk, every transient in VMEM.
+    """
+    bz, byx = box_ref.shape[1], box_ref.shape[2]
+    v = pl.program_id(1)
+
+    def taps_t(l, b):
+        # transposed 2-tap linear weights [b, 128] (0.5-center convention)
+        i0 = jnp.clip(jnp.floor(l - 0.5), 0.0, b - 2.0)
+        w0 = jnp.clip(1.0 - (l - 0.5 - i0), 0.0, 1.0)
+        i0i = i0.astype(jnp.int32)
+        k = jax.lax.broadcasted_iota(jnp.int32, (b, l.shape[0]), 0)
+        return jnp.where(k == i0i[None, :], w0[None, :], 0.0) + jnp.where(
+            k == i0i[None, :] + 1, 1.0 - w0[None, :], 0.0
+        )
+
+    nv = out_ref.shape[2]
+    azt = taps_t(lz_ref[0, v, :], bz)  # [bz, nv] f32
+    ayt = taps_t(ly_ref[0, v, :], by).astype(jnp.bfloat16)
+    axt = taps_t(lx_ref[0, v, :], bx).astype(jnp.bfloat16)
+    # build the combined in-plane weight in bf16: the [byx, nv] broadcasts
+    # and product are the kernel's VPU bottleneck, and bf16 packs 2/lane
+    ay = jnp.broadcast_to(ayt[:, None, :], (by, bx, nv)).reshape(byx, nv)
+    ax = jnp.broadcast_to(axt[None, :, :], (by, bx, nv)).reshape(byx, nv)
+    wyx = ay * ax  # 4 nonzero sublanes per point
+    # [bz, byx] @ [byx, 128]: the only contraction touching box data
+    tyx = jnp.dot(box_ref[0], wyx, preferred_element_type=jnp.float32)
+    out_ref[0, v, :] = jnp.sum(tyx * azt, axis=0)
+
+
+def sample_patches_rotated_pallas(
+    gstack: jnp.ndarray,  # [L, Z, Y, X]
+    lvl: jnp.ndarray,  # [R] int32
+    centers: jnp.ndarray,  # [R, 3] (x, y, z)
+    scales: jnp.ndarray,  # [R]
+    oris: jnp.ndarray,  # [R, 3, 3]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas-TPU rotated patch sampler (same contract and numerics model
+    as sample_patches_rotated_boxed; bf16 tap/box precision, ~2^-9
+    relative — the patches feed only rank-ordered descriptors)."""
+
+
+    nl, zd, yd, xd = gstack.shape
+    bz, by, bx = min(_RBOX, zd), min(_RBOX, yd), min(_RBOX, xd)
+    byx = by * bx
+    r = centers.shape[0]
+
+    grid_pts = jnp.asarray(_GRID)  # [V, 3] (x, y, z)
+    ori_inv = invert_3x3(oris)
+    rotated = jnp.einsum("cij,vj->cvi", ori_inv, grid_pts)
+    fac = (2.0 * scales / float(PATCH_RAD))[:, None, None]
+    coords = rotated * fac + centers[:, None, :]  # [R, V, 3] global (x, y, z)
+
+    def origin(c, dim, b):
+        return jnp.clip(jnp.floor(c).astype(jnp.int32) - b // 2, 0, max(dim - b, 0))
+
+    ox = origin(centers[:, 0], xd, bx)
+    oy = origin(centers[:, 1], yd, by)
+    oz = origin(centers[:, 2], zd, bz)
+
+    v_total = coords.shape[1]
+    rc = min(256, r)
+    n_rc = r // rc
+    n_vc = _VPAD // _VCHUNK
+
+    def row_chunk(args):
+        lvl_c, oz_c, oy_c, ox_c, coords_c = args
+
+        def slice_one(l, z0, y0, x0):
+            return jax.lax.dynamic_slice(gstack, (l, z0, y0, x0), (1, bz, by, bx))[0]
+
+        boxes = jax.vmap(slice_one)(lvl_c, oz_c, oy_c, ox_c)  # [rc, bz, by, bx]
+        # natural z-major layout: the matmul contracts over flattened (y, x)
+        boxes2d = boxes.reshape(rc, bz, byx).astype(jnp.bfloat16)
+
+        def local(axis, org):
+            l = coords_c[..., axis] - org[:, None].astype(jnp.float32)  # [rc, V]
+            return jnp.pad(l, ((0, 0), (0, _VPAD - v_total))).reshape(rc, n_vc, _VCHUNK)
+
+        lx_l, ly_l, lz_l = local(0, ox_c), local(1, oy_c), local(2, oz_c)
+
+        vals = pl.pallas_call(
+            functools.partial(_rot_kernel, by, bx),
+            grid=(rc, n_vc),
+            in_specs=[
+                pl.BlockSpec((1, n_vc, _VCHUNK), lambda i, v: (i, 0, 0)),
+                pl.BlockSpec((1, n_vc, _VCHUNK), lambda i, v: (i, 0, 0)),
+                pl.BlockSpec((1, n_vc, _VCHUNK), lambda i, v: (i, 0, 0)),
+                pl.BlockSpec((1, bz, byx), lambda i, v: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, n_vc, _VCHUNK), lambda i, v: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((rc, n_vc, _VCHUNK), jnp.float32),
+            interpret=interpret,
+        )(lz_l, ly_l, lx_l, boxes2d)
+
+        vals = vals.reshape(rc, _VPAD)[:, :v_total]
+        # reference x-rule: out-of-volume in x reads as zero (quirk 4)
+        gx = coords_c[..., 0]
+        return jnp.where((gx < 0) | (gx >= xd), 0.0, vals)
+
+    args = (
+        lvl.reshape(n_rc, rc),
+        oz.reshape(n_rc, rc),
+        oy.reshape(n_rc, rc),
+        ox.reshape(n_rc, rc),
+        coords.reshape(n_rc, rc, v_total, 3),
+    )
+    vals = jax.lax.map(row_chunk, args)  # [n_rc, rc, V]
+    return vals.reshape(r, PATCH_DIM, PATCH_DIM, PATCH_DIM)
+
+
+def sample_patches_rotated(gstack, lvl, centers, scales, oris):
+    """Rotated-patch sampling: Pallas VMEM-resident kernel on TPU, boxed
+    XLA contraction elsewhere (or with SIFT3D_NO_PALLAS_ROTATED=1)."""
+    import os
+
+    if jax.default_backend() == "tpu" and not os.environ.get(
+        "SIFT3D_NO_PALLAS_ROTATED"
+    ):
+        return sample_patches_rotated_pallas(gstack, lvl, centers, scales, oris)
+    return sample_patches_rotated_boxed(gstack, lvl, centers, scales, oris)
 
 
 def normalize_patches(patches: jnp.ndarray) -> jnp.ndarray:

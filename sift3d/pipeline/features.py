@@ -503,11 +503,11 @@ def emit_reoriented_stage(
     row_info = row_info | jnp.uint32(INFO_FLAG_REORIENT)
     key = jnp.where(row_valid, cand * (1 + s) + slot + 1, -1)
 
-    from sift3d.kernels.patch import sample_patches_rotated_boxed
+    from sift3d.kernels.patch import sample_patches_rotated
 
     b, ngl = gstacks.shape[0], gstacks.shape[1]
     gstackf = gstacks.reshape((b * ngl,) + gstacks.shape[2:])
-    patches = sample_patches_rotated_boxed(
+    patches = sample_patches_rotated(
         gstackf, row_vi * ngl + row_lvl, row_xyz, row_scale, row_ori
     )
     packed = _pack_rows(key, row_vi, row_xyz, row_scale, row_eigs, row_ori, row_info)

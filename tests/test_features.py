@@ -198,3 +198,49 @@ def test_boxed_rotated_sampling_matches_gather(rng):
     want = np.asarray(pk.sample_patches_leveled(gstack, lvl, jnp.asarray(xyz), scale, jnp.asarray(oris)))
     got = np.asarray(pk.sample_patches_rotated_boxed(gstack, lvl, jnp.asarray(xyz), scale, jnp.asarray(oris)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_rotated_sampler_matches_boxed(rng):
+    """Pallas rotated-patch kernel (interpret mode) vs the XLA boxed
+    contraction on random rotations; bf16 tap precision bounds the diff."""
+    from sift3d.kernels.patch import (
+        sample_patches_rotated_boxed,
+        sample_patches_rotated_pallas,
+    )
+
+    L, Z, Y, X = 3, 48, 56, 48
+    gstack = jnp.asarray(
+        rng.standard_normal((L, Z, Y, X)).astype(np.float32) * 50 + 150
+    )
+    R = 64
+    lvl = jnp.asarray(rng.integers(0, L, R).astype(np.int32))
+    centers = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(12, X - 12, R),
+                rng.uniform(12, Y - 12, R),
+                rng.uniform(12, Z - 12, R),
+            ],
+            axis=1,
+        ).astype(np.float32)
+    )
+    scales = jnp.asarray(rng.uniform(3.2, 5.0, R).astype(np.float32))
+    q = rng.standard_normal((R, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    w, xq, yq, zq = q.T
+    oris = jnp.asarray(
+        np.stack(
+            [
+                1 - 2 * (yq * yq + zq * zq), 2 * (xq * yq - w * zq), 2 * (xq * zq + w * yq),
+                2 * (xq * yq + w * zq), 1 - 2 * (xq * xq + zq * zq), 2 * (yq * zq - w * xq),
+                2 * (xq * zq - w * yq), 2 * (yq * zq + w * xq), 1 - 2 * (xq * xq + yq * yq),
+            ],
+            axis=1,
+        ).reshape(R, 3, 3).astype(np.float32)
+    )
+    ref = np.asarray(sample_patches_rotated_boxed(gstack, lvl, centers, scales, oris))
+    got = np.asarray(
+        sample_patches_rotated_pallas(gstack, lvl, centers, scales, oris, interpret=True)
+    )
+    scale = np.abs(ref).max()
+    assert np.abs(ref - got).max() < 2e-2 * scale
