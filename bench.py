@@ -71,7 +71,9 @@ def main() -> None:
 
     # a batch of distinct volumes processed with interleaved scheduling:
     # volumes/sec is the serving metric, and phase interleaving hides the
-    # host-sync latency of any one volume
+    # host-sync latency of any one volume. Batch 8 measured best with
+    # distinct volumes (larger batches land in underfilled shape buckets;
+    # 12+ volumes of pyramids pressure the 16 GB of HBM)
     import os
 
     batch = int(os.environ.get("SIFT3D_BENCH_BATCH", "8"))
