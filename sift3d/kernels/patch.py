@@ -480,6 +480,136 @@ def sphere_mask() -> np.ndarray:
     return (zz * zz + yy * yy + xx * xx) < PATCH_RAD * PATCH_RAD
 
 
+def sym_eigs_3x3(a: jnp.ndarray):
+    """Closed-form batched symmetric 3x3 eigendecomposition (descending).
+
+    Trigonometric eigenvalues (the standard stable Cardano form) + Eberly's
+    robust eigenvector scheme, replacing XLA's iterative jnp.linalg.eigh
+    whose batched lowering costs ~30 ms at C=8k on TPU (vs ~1 ms of actual
+    arithmetic here). Returns (eigs [C, 3] descending, vecs [C, 3, 3]
+    orthonormal columns, right-handed).
+
+    Eigenvector order of operations (Eberly, "A Robust Eigensolver for 3x3
+    Symmetric Matrices"): the sign of the normalized half-determinant says
+    which extreme eigenvalue is guaranteed simple (r >= 0 -> e0, else e2);
+    that one's eigenvector comes from the largest row cross product of
+    (A - lambda I) (rank 2 there, so crosses are well conditioned). The
+    middle eigenvector is the null vector of (A - e1 I) projected onto the
+    simple vector's orthogonal plane — a 2x2 solve that degrades gracefully
+    to "any vector in the plane" when e1 is itself degenerate (valid, same
+    freedom eigh has). The third is their cross product.
+    """
+    f64 = a.astype(jnp.float64) if jax.config.jax_enable_x64 else a
+    a00, a11, a22 = f64[..., 0, 0], f64[..., 1, 1], f64[..., 2, 2]
+    a01, a02, a12 = f64[..., 0, 1], f64[..., 0, 2], f64[..., 1, 2]
+
+    # scale for numerical range (structure tensors span many decades)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(jnp.stack([a00, a11, a22, a01, a02, a12], -1)), -1), 1e-30
+    )
+    b00, b11, b22 = a00 / s, a11 / s, a22 / s
+    b01, b02, b12 = a01 / s, a02 / s, a12 / s
+
+    q = (b00 + b11 + b22) / 3.0
+    p1 = b01 * b01 + b02 * b02 + b12 * b12
+    p2 = (b00 - q) ** 2 + (b11 - q) ** 2 + (b22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-38))
+    c00, c11, c22 = (b00 - q) / p, (b11 - q) / p, (b22 - q) / p
+    c01, c02, c12 = b01 / p, b02 / p, b12 / p
+    detb = (
+        c00 * (c11 * c22 - c12 * c12)
+        - c01 * (c01 * c22 - c12 * c02)
+        + c02 * (c01 * c12 - c11 * c02)
+    )
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e0 = q + 2.0 * p * jnp.cos(phi)  # largest
+    e2 = q + 2.0 * p * jnp.cos(phi + 2.0 * np.pi / 3.0)  # smallest
+    e1 = 3.0 * q - e0 - e2
+    # exactly diagonal-dominant degenerate case (p2 ~ 0): all eigs = q
+    degen = p2 < 1e-30
+    e0 = jnp.where(degen, q, e0)
+    e1 = jnp.where(degen, q, e1)
+    e2 = jnp.where(degen, q, e2)
+
+    b = jnp.stack(
+        [
+            jnp.stack([b00, b01, b02], -1),
+            jnp.stack([b01, b11, b12], -1),
+            jnp.stack([b02, b12, b22], -1),
+        ],
+        -2,
+    )  # [..., 3, 3] scaled symmetric
+
+    def null_vec(lam, fallback):
+        m = b - lam[..., None, None] * jnp.eye(3, dtype=b.dtype)
+        r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
+        c01_ = jnp.cross(r0, r1)
+        c02_ = jnp.cross(r0, r2)
+        c12_ = jnp.cross(r1, r2)
+        n01 = (c01_ * c01_).sum(-1)
+        n02 = (c02_ * c02_).sum(-1)
+        n12 = (c12_ * c12_).sum(-1)
+        best = jnp.where(
+            (n01 >= n02)[..., None] & (n01 >= n12)[..., None],
+            c01_,
+            jnp.where((n02 >= n12)[..., None], c02_, c12_),
+        )
+        nb = jnp.maximum(n01, jnp.maximum(n02, n12))
+        ok = nb > 1e-24
+        v = best / jnp.sqrt(jnp.where(ok, nb, 1.0))[..., None]
+        return jnp.where(ok[..., None], v, fallback)
+
+    def orth_plane(w):
+        # unit w -> orthonormal u, v spanning its orthogonal plane
+        wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+        use_x = jnp.abs(wx) > jnp.abs(wy)
+        inv_xz = 1.0 / jnp.sqrt(jnp.maximum(wx * wx + wz * wz, 1e-38))
+        inv_yz = 1.0 / jnp.sqrt(jnp.maximum(wy * wy + wz * wz, 1e-38))
+        ux = jnp.where(use_x, -wz * inv_xz, jnp.zeros_like(wx))
+        uy = jnp.where(use_x, jnp.zeros_like(wx), wz * inv_yz)
+        uz = jnp.where(use_x, wx * inv_xz, -wy * inv_yz)
+        u = jnp.stack([ux, uy, uz], -1)
+        return u, jnp.cross(w, u)
+
+    def middle_vec(w_simple, lam):
+        # null vector of (b - lam I) restricted to the plane orthogonal to
+        # the simple eigenvector: 2x2 symmetric null solve, row-pivoted
+        u, v = orth_plane(w_simple)
+        bu = jnp.einsum("...ij,...j->...i", b, u)
+        bv = jnp.einsum("...ij,...j->...i", b, v)
+        m00 = (u * bu).sum(-1) - lam
+        m01 = (u * bv).sum(-1)
+        m11 = (v * bv).sum(-1) - lam
+        use_r0 = jnp.abs(m00) >= jnp.abs(m11)
+        ca = jnp.where(use_r0, m01, m11)
+        cb = jnp.where(use_r0, -m00, -m01)
+        n = jnp.sqrt(ca * ca + cb * cb)
+        ok = n > 1e-24  # both rows ~0: e1 degenerate, any plane vector works
+        ca = jnp.where(ok, ca / jnp.where(ok, n, 1.0), 1.0)
+        cb = jnp.where(ok, cb / jnp.where(ok, n, 1.0), 0.0)
+        return ca[..., None] * u + cb[..., None] * v
+
+    ex = jnp.zeros_like(b[..., 0, :]).at[..., 0].set(1.0)
+    # r >= 0: e1 crowds e2, so e0 is the safely-simple extreme; r < 0: e2 is
+    simple_hi = r >= 0
+    lam_simple = jnp.where(simple_hi, e0, e2)
+    w_simple = null_vec(lam_simple, ex)
+    v1 = middle_vec(w_simple, e1)
+    w_cross = jnp.cross(w_simple, v1)
+    # keep columns (v0, v1, v2) <-> (e0, e1, e2), right-handed v0 x v1 = v2
+    v0 = jnp.where(simple_hi[..., None], w_simple, jnp.cross(v1, w_simple))
+    v2 = jnp.where(simple_hi[..., None], w_cross, w_simple)
+
+    eigs = jnp.stack([e0, e1, e2], -1) * s[..., None]
+    vecs = jnp.stack([v0, v1, v2], -1)  # columns
+    # triple-degenerate (p2 ~ 0): eigenspace is everything; use identity
+    vecs = jnp.where(
+        degen[..., None, None], jnp.eye(3, dtype=vecs.dtype), vecs
+    )
+    return eigs.astype(a.dtype), vecs.astype(a.dtype)
+
+
 def structure_tensor_eigs(patches_norm: jnp.ndarray):
     """Gradient outer-product over the inscribed sphere -> sorted eigs/vecs.
 
@@ -493,10 +623,7 @@ def structure_tensor_eigs(patches_norm: jnp.ndarray):
     g = grads * m[None, None]
     flat = g.reshape(g.shape[0], 3, -1)
     tensor = jnp.einsum("civ,cjv->cij", flat, flat)  # [C, 3, 3]
-    w, v = jnp.linalg.eigh(tensor)  # ascending
-    w = w[:, ::-1]
-    v = v[:, :, ::-1]  # eigenvectors in columns, now descending
-    return w, v
+    return sym_eigs_3x3(tensor)
 
 
 def local_peaks_3d(vols: jnp.ndarray) -> jnp.ndarray:

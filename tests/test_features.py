@@ -67,6 +67,30 @@ def test_structure_tensor_dominant_direction(rng):
     np.testing.assert_allclose(v, [1, 0, 0], atol=1e-4)
 
 
+def test_sym_eigs_3x3_matches_eigh(rng):
+    # random PSD-ish tensors plus hard cases: diagonal, repeated eigs,
+    # near-zero, and widely scaled (structure tensors span decades)
+    g = rng.standard_normal((64, 3, 3)).astype(np.float32)
+    a = np.einsum("cik,cjk->cij", g, g)
+    a[0] = np.diag([3.0, 3.0, 1.0])
+    a[1] = np.diag([5.0, 5.0, 5.0])
+    a[2] = 0.0
+    a[3] = np.diag([2.0, 1.0, 1.0])
+    a[4] *= 1e6
+    a[5] *= 1e-6
+    w, v = pk.sym_eigs_3x3(jnp.asarray(a))
+    w, v = np.asarray(w), np.asarray(v)
+    w_ref = np.linalg.eigvalsh(a)[:, ::-1]
+    scale = np.maximum(np.abs(w_ref[:, :1]), 1e-6)
+    np.testing.assert_allclose(w / scale, w_ref / scale, atol=2e-3)
+    # columns orthonormal and satisfy A v = lambda v (relative to scale)
+    vtv = np.einsum("cki,ckj->cij", v, v)
+    np.testing.assert_allclose(vtv, np.broadcast_to(np.eye(3), vtv.shape), atol=2e-3)
+    av = np.einsum("cij,cjk->cik", a, v)
+    lv = w[:, None, :] * v
+    np.testing.assert_allclose(av / scale[..., None], lv / scale[..., None], atol=5e-3)
+
+
 def test_local_peaks_3d():
     vol = np.zeros((2, 7, 7, 7), np.float32)
     vol[0, 3, 3, 3] = 1.0
