@@ -169,7 +169,9 @@ def _phase2b_program(
             xyz_all[sl], scale_all[sl], kb,
         )
         o = fstage.canonical_stage(pn_k, cfg)
-        counts.append(fstage.emit_count_stage(kvalid, o["ori_valid"], cfg, reoriented))
+        counts.append(
+            fstage.emit_count_stage(kvalid, o["ori_valid"], scale_k, cfg, reoriented)
+        )
         for key, v in zip(
             keys,
             (kvalid, cand_k, pn_k, eigs_k, eig_ori_k, xyz_k, scale_k, o["ori"], o["ori_valid"]),
@@ -184,12 +186,13 @@ def _phase2b_program(
 def _phase2c_program(gstacks, sel, layout, cfg, descriptor: str, reoriented: bool):
     """Row packing + descriptors for all chunks in one program: unoriented
     rows reuse the gather-stage patches; reoriented rows resample rotated
-    patches. layout: static (res_index, koffset, kbucket, reoriented_cap)
+    patches, bucketed by scale so small-scale rows use the 48^3 sampler
+    box. layout: static (res_index, koffset, kbucket, cap_small, cap_large)
     per chunk. Takes only the Gaussian stacks (the DoG stacks are dead
     after phase 2a and freeing them is what lets a second in-flight batch
     fit in HBM). Returns the two concatenated download buffers."""
     packed, descs = [], []
-    for res_i, koff, kb, cap_b in layout:
+    for res_i, koff, kb, cap_s, cap_l in layout:
         sl = slice(koff, koff + kb)
         packed.append(
             fstage.pack_unoriented_stage(
@@ -198,11 +201,13 @@ def _phase2c_program(gstacks, sel, layout, cfg, descriptor: str, reoriented: boo
             )
         )
         descs.append(fstage.descriptor_stage(sel["pn"][sl], descriptor).astype(jnp.uint8))
-        if reoriented and cap_b > 0:
+        for bucket, cap_b in (("small", cap_s), ("large", cap_l)):
+            if not (reoriented and cap_b > 0):
+                continue
             _, packed_b, patches_b = fstage.emit_reoriented_stage(
                 gstacks[res_i], sel["cand"][sl], sel["xyz"][sl], sel["scale"][sl],
                 sel["kvalid"][sl], sel["eigs"][sl], sel["ori"][sl], sel["ori_valid"][sl],
-                cfg, cap_b,
+                cfg, cap_b, bucket,
             )
             packed.append(packed_b)
             descs.append(fstage.descriptor_stage(patches_b, descriptor).astype(jnp.uint8))
@@ -428,23 +433,29 @@ def extract_features_many(
 
     # phase 2c: one sync for all chunk row counts, then the split emission:
     # unoriented rows reuse the gather-stage patches (no resampling); only
-    # reoriented rows pay the rotated-patch resampling
+    # reoriented rows pay the rotated-patch resampling, bucketed by scale
+    # into 48^3- and 64^3-box sampler passes
     with timer.stage("row_counts"):
-        counts = np.asarray(counts_d).astype(np.int64)
+        counts = np.asarray(counts_d).astype(np.int64)  # [n_chunks, 2]
     k_offs = np.concatenate([[0], np.cumsum([kb for _, _, kb in layout_b])])
     layout_c = []
     blocks: dict = {}
     p_off = 0
     for j, i in enumerate(surv):
         kb = layout_b[j][2]
-        n_b = int(counts[j]) - int(kepts[i])
-        cap_b = _bucket(n_b, 16 * chunk) if (reoriented and n_b > 0) else 0
-        layout_c.append((chunk_meta[i][0], int(k_offs[j]), kb, cap_b))
+        n_small = int(counts[j, 1])
+        n_large = int(counts[j, 0]) - int(kepts[i]) - n_small
+        caps = tuple(
+            _bucket(n, 16 * chunk) if (reoriented and n > 0) else 0
+            for n in (n_small, n_large)
+        )
+        layout_c.append((chunk_meta[i][0], int(k_offs[j]), kb) + caps)
         blocks[j] = [(p_off, kb)]
         p_off += kb
-        if cap_b > 0:
-            blocks[j].append((p_off, cap_b))
-            p_off += cap_b
+        for cap_b in caps:
+            if cap_b > 0:
+                blocks[j].append((p_off, cap_b))
+                p_off += cap_b
     with timer.stage("phase2c"):
         packed_all, desc_all = _phase2c_program(
             gstacks, sel, tuple(layout_c), cfg, descriptor, reoriented

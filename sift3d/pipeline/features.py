@@ -417,18 +417,21 @@ def resample_stage(gstack, xyz, scale, oris, lvl):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "reoriented"))
-def emit_count_stage(keep, ori_valid, cfg: SiftConfig, reoriented: bool = True):
-    """Number of feature rows the chunk will emit (tiny, read synchronously
-    so the packing stage can run at the smallest sufficient capacity)."""
+def emit_count_stage(keep, ori_valid, scale, cfg: SiftConfig, reoriented: bool = True):
+    """[total rows, small-box reoriented rows] the chunk will emit (tiny,
+    read synchronously so the packing stage can run at the smallest
+    sufficient capacity, split by rotated-sampler box bucket)."""
+    from sift3d.kernels.patch import _RBOX_SMALL, rbox_max_scale
+
     c, k1, k2 = ori_valid.shape
     ovf = ori_valid.reshape(c, k1 * k2)
     if not reoriented:
         ovf = jnp.zeros_like(ovf)
     rank = jnp.cumsum(ovf.astype(jnp.int32), axis=1) - 1
-    slots = jnp.concatenate(
-        [keep[:, None], keep[:, None] & ovf & (rank < cfg.max_orientations)], axis=1
-    )
-    return slots.sum()
+    reor = keep[:, None] & ovf & (rank < cfg.max_orientations)
+    small = (scale <= rbox_max_scale(_RBOX_SMALL))[:, None]
+    total = keep.sum() + reor.sum()
+    return jnp.stack([total, (reor & small).sum()])
 
 
 def _pack_rows(order_key, vi, xyz, scale, eigs, ori, info):
@@ -466,10 +469,10 @@ def pack_unoriented_stage(kvalid, cand, xyz, scale, eigs, eig_ori, cfg: SiftConf
     return jnp.where(kvalid[:, None], packed, -1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "emit_cap"))
+@functools.partial(jax.jit, static_argnames=("cfg", "emit_cap", "scale_bucket"))
 def emit_reoriented_stage(
     gstacks, cand, xyz, scale, kvalid, eigs, ori, ori_valid,
-    cfg: SiftConfig, emit_cap: int,
+    cfg: SiftConfig, emit_cap: int, scale_bucket: str = "all",
 ):
     """Device-compacted reoriented rows + their freshly resampled patches.
 
@@ -477,8 +480,14 @@ def emit_reoriented_stage(
     reuse the gather-stage patches (pack_unoriented_stage). gstacks is the
     batch [B, 6, Z, Y, X]; cand is the compacted [C, 6] candidate table
     whose vi column indexes into it.
+
+    scale_bucket routes rows to a right-sized sampler box: "small" keeps
+    rows whose patch fits the 48^3 box (2.4x fewer MXU FLOPs than 64^3),
+    "large" the rest, "all" disables bucketing. Order keys are global, so
+    the host merge reassembles reference push order across buckets.
     """
     from sift3d.core.featureset import INFO_FLAG_MIN0MAX1, INFO_FLAG_REORIENT
+    from sift3d.kernels.patch import _RBOX, _RBOX_SMALL, rbox_max_scale
 
     vi, lvl, sign = cand[:, 0], cand[:, 1], cand[:, 5]
     c, k1, k2 = ori_valid.shape
@@ -486,6 +495,12 @@ def emit_reoriented_stage(
     ovf = ori_valid.reshape(c, s) & kvalid[:, None]
     rank = jnp.cumsum(ovf.astype(jnp.int32), axis=1) - 1
     slots = ovf & (rank < cfg.max_orientations)
+    box = _RBOX
+    if scale_bucket == "small":
+        slots = slots & (scale <= rbox_max_scale(_RBOX_SMALL))[:, None]
+        box = _RBOX_SMALL
+    elif scale_bucket == "large":
+        slots = slots & (scale > rbox_max_scale(_RBOX_SMALL))[:, None]
     flat = slots.ravel()
     count = flat.sum()
     idx = jnp.nonzero(flat, size=emit_cap, fill_value=flat.shape[0])[0]
@@ -508,7 +523,7 @@ def emit_reoriented_stage(
     b, ngl = gstacks.shape[0], gstacks.shape[1]
     gstackf = gstacks.reshape((b * ngl,) + gstacks.shape[2:])
     patches = sample_patches_rotated(
-        gstackf, row_vi * ngl + row_lvl, row_xyz, row_scale, row_ori
+        gstackf, row_vi * ngl + row_lvl, row_xyz, row_scale, row_ori, box=box
     )
     packed = _pack_rows(key, row_vi, row_xyz, row_scale, row_eigs, row_ori, row_info)
     packed = jnp.where(row_valid[:, None], packed, -1.0)

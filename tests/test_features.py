@@ -268,3 +268,18 @@ def test_pallas_rotated_sampler_matches_boxed(rng):
     )
     scale = np.abs(ref).max()
     assert np.abs(ref - got).max() < 2e-2 * scale
+    # the small-scale 48^3 bucket box must sample identically (all test
+    # scales are below rbox_max_scale(48) = 6.50)
+    assert float(scales.max()) <= pk.rbox_max_scale(pk._RBOX_SMALL)
+    got48 = np.asarray(
+        sample_patches_rotated_pallas(
+            gstack, lvl, centers, scales, oris, interpret=True, box=pk._RBOX_SMALL
+        )
+    )
+    assert np.abs(ref - got48).max() < 2e-2 * scale
+    ref48 = np.asarray(
+        sample_patches_rotated_boxed(
+            gstack, lvl, centers, scales, oris, box=pk._RBOX_SMALL
+        )
+    )
+    np.testing.assert_allclose(ref48, ref, rtol=1e-4, atol=1e-4)
