@@ -523,7 +523,8 @@ def emit_reoriented_stage(
     b, ngl = gstacks.shape[0], gstacks.shape[1]
     gstackf = gstacks.reshape((b * ngl,) + gstacks.shape[2:])
     patches = sample_patches_rotated(
-        gstackf, row_vi * ngl + row_lvl, row_xyz, row_scale, row_ori, box=box
+        gstackf, row_vi * ngl + row_lvl, row_xyz, row_scale, row_ori, box=box,
+        count=count,
     )
     packed = _pack_rows(key, row_vi, row_xyz, row_scale, row_eigs, row_ori, row_info)
     packed = jnp.where(row_valid[:, None], packed, -1.0)
