@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TZ = 4  # z-slab height per grid step (VMEM: slab + f32 output block)
+_TZ = 2  # z-slab height per grid step (VMEM: slab + plane cache + out)
 
 
 def _extrema_kernel(dogs_hbm, out_ref):
@@ -41,33 +41,72 @@ def _extrema_kernel(dogs_hbm, out_ref):
         cp.start()
         cp.wait()
 
-        # Sum-of-sign formulation, the same trick as the reference CUDA
-        # kernel (SIFT_cuda_Tools.cu:1187-1303): s = sum over the 80
-        # neighbors of sign(center - n); s == +80 iff strict maximum,
-        # -80 iff strict minimum. Pure f32 vector math — Mosaic-friendly
-        # (bool mask chains and int8 selects fail to legalize). 2D [Y, X]
-        # planes only: >2 non-trivial vector dims also fail relayout.
-        def plane(l, zi, dy, dx):
-            base = slab[l, zi]
-            if dy:
-                base = jnp.roll(base, -dy, axis=0)
-            if dx:
-                base = jnp.roll(base, -dx, axis=1)
-            return base
+        # Separable neighborhood max/min instead of the reference's 80
+        # sign comparisons (SIFT_cuda_Tools.cu:1187-1303): a voxel is a
+        # strict maximum iff center > max(80 neighbors), and the
+        # 3x3(x3-level) window maxes factor into x-rolls then y-rolls —
+        # ~4x fewer vector ops than sign-summing every neighbor. The
+        # center plane contributes its 8-neighborhood only (x3 of the
+        # rows above/below plus the two x neighbors). 2D [Y, X] planes
+        # only: >2 non-trivial vector dims fail Mosaic relayout.
+        def x3(l, zz):
+            p = slab[l, zz]
+            pr = jnp.roll(p, 1, axis=1)
+            pf = jnp.roll(p, -1, axis=1)
+            return (
+                jnp.maximum(jnp.maximum(p, pr), pf),
+                jnp.minimum(jnp.minimum(p, pr), pf),
+            )
 
-        for c in (1, 2, 3):
-            for zi in range(tz):
+        cache = {}
+
+        def yx9(l, zz):
+            if (l, zz) not in cache:
+                qmax, qmin = x3(l, zz)
+                cache[(l, zz)] = (
+                    jnp.maximum(
+                        jnp.maximum(qmax, jnp.roll(qmax, 1, axis=0)),
+                        jnp.roll(qmax, -1, axis=0),
+                    ),
+                    jnp.minimum(
+                        jnp.minimum(qmin, jnp.roll(qmin, 1, axis=0)),
+                        jnp.roll(qmin, -1, axis=0),
+                    ),
+                )
+            return cache[(l, zz)]
+
+        for zi in range(tz):
+            for c in (1, 2, 3):
                 center = slab[c, 1 + zi]
-                s = jnp.zeros(center.shape, jnp.float32)
-                for dl in (-1, 0, 1):
-                    for dz in (-1, 0, 1):
-                        for dy in (-1, 0, 1):
-                            for dx in (-1, 0, 1):
-                                if dl == 0 and dz == 0 and dy == 0 and dx == 0:
-                                    continue
-                                n = plane(c + dl, 1 + zi + dz, dy, dx)
-                                s = s + jnp.sign(center - n)
-                out_ref[c - 1, zi] = s
+                full = [
+                    (c - 1, zi), (c - 1, zi + 1), (c - 1, zi + 2),
+                    (c + 1, zi), (c + 1, zi + 1), (c + 1, zi + 2),
+                    (c, zi), (c, zi + 2),
+                ]
+                pairs = [yx9(l, zz) for l, zz in full]
+                nmax = functools.reduce(jnp.maximum, [p[0] for p in pairs])
+                nmin = functools.reduce(jnp.minimum, [p[1] for p in pairs])
+                # center plane: 8-neighborhood excludes the center itself
+                qmax, qmin = x3(c, 1 + zi)
+                nmax = jnp.maximum(
+                    nmax,
+                    jnp.maximum(jnp.roll(qmax, 1, axis=0), jnp.roll(qmax, -1, axis=0)),
+                )
+                nmin = jnp.minimum(
+                    nmin,
+                    jnp.minimum(jnp.roll(qmin, 1, axis=0), jnp.roll(qmin, -1, axis=0)),
+                )
+                nmax = jnp.maximum(
+                    nmax,
+                    jnp.maximum(jnp.roll(center, 1, axis=1), jnp.roll(center, -1, axis=1)),
+                )
+                nmin = jnp.minimum(
+                    nmin,
+                    jnp.minimum(jnp.roll(center, 1, axis=1), jnp.roll(center, -1, axis=1)),
+                )
+                out_ref[c - 1, zi] = jnp.where(center > nmax, 1.0, 0.0) - jnp.where(
+                    center < nmin, 1.0, 0.0
+                )
 
     pl.run_scoped(
         body,
@@ -110,7 +149,7 @@ def extrema_mask_pallas(dogs: jnp.ndarray, interpret: bool = False) -> jnp.ndarr
     )(dogs_p)
     s = s.reshape(bn, 3, zp, yp, xp)[:, :, :z, :y, :x]
 
-    mask = (s == 80.0).astype(jnp.int8) - (s == -80.0).astype(jnp.int8)
+    mask = (s > 0).astype(jnp.int8) - (s < 0).astype(jnp.int8)
     interior = jnp.zeros((z, y, x), dtype=bool).at[1:-1, 1:-1, 1:-1].set(True)
     mask = jnp.where(interior, mask, jnp.int8(0))
     return mask if batched else mask[0]

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def subsample_2x(vol: jnp.ndarray) -> jnp.ndarray:
@@ -30,6 +31,24 @@ def subsample_2x(vol: jnp.ndarray) -> jnp.ndarray:
     z, y, x = vol.shape[-3:]
     lead = vol.shape[:-3]
     z2, y2, x2 = z // 2, y // 2, x // 2
+    if jax.default_backend() == "tpu" and isinstance(vol, jnp.ndarray):
+        # strided pair-means lower to lane relayouts on TPU (~25 ms at
+        # batch-8 T1 size); three 2-tap banded matmuls ride the MXU
+        # instead (~1 ms, exact f32 via HIGHEST)
+        def pool(dim, half):
+            m = np.zeros((dim, half), np.float32)
+            idx = np.arange(half)
+            m[2 * idx, idx] = 0.5
+            m[2 * idx + 1, idx] = 0.5
+            return jnp.asarray(m)
+
+        kw = dict(
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        v = jnp.einsum("...zyx,zZ->...Zyx", vol, pool(z, z2), **kw)
+        v = jnp.einsum("...zyx,yY->...zYx", v, pool(y, y2), **kw)
+        return jnp.einsum("...zyx,xX->...zyX", v, pool(x, x2), **kw)
     v = vol[..., : 2 * z2, : 2 * y2, : 2 * x2]
     v = v.reshape(lead + (z2, 2, y2, 2, x2, 2))
     return v.mean(axis=(-5, -3, -1))
