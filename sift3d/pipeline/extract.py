@@ -362,8 +362,12 @@ def extract_features_many(
                     continue
                 dog_lvl = (lvls0 + 1).astype(np.int32)
                 # reference emission order: per level, valleys then peaks,
-                # scan order (generateFeatures3D_efficient loops)
-                order = np.lexsort((xs, ys, zs, signs, dog_lvl))
+                # scan order (generateFeatures3D_efficient loops). The
+                # decode already yields (lvl, z, y, x) ascending (group
+                # compaction preserves flat-index order), so a stable
+                # single-key sort on (lvl, sign) replaces the 5-key
+                # lexsort (~25 ms/octave at bench candidate counts)
+                order = np.argsort(dog_lvl * 2 + (signs > 0), kind="stable")
                 parts.append(
                     (
                         np.full(order.shape, b, np.int32),

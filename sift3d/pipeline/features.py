@@ -124,16 +124,21 @@ def _smooth_histogram(coords_xyz: jnp.ndarray, weights: jnp.ndarray, blur_sigma:
     ay = _axis_factors(coords_xyz[..., 1], taps)
     az = _axis_factors(coords_xyz[..., 2], taps)
     wz = weights[..., None] * az  # [C, V, 11]
-    # contract per z-slice to bound the [C, V, 11, 11] intermediate
-    slices = []
-    for z in range(PATCH_DIM):
-        slices.append(
-            jnp.einsum(
-                "cv,cvy,cvx->cyx", wz[..., z], ay, ax,
-                preferred_element_type=jnp.float32,
-            )
+    # contract with a combined [V, 121] in-plane factor in V-chunks: the
+    # per-z-slice formulation is a batch=C matmul with M=N=11 (<1% MXU
+    # utilization, ~20 ms per histogram at C=4k); N=121 runs ~10x faster,
+    # and chunking V bounds the [C, V, 121] outer-product transient
+    c, v_total = ax.shape[0], ax.shape[1]
+    p2 = PATCH_DIM * PATCH_DIM
+    hist = jnp.zeros((c, PATCH_DIM, p2), jnp.float32)
+    step = 128
+    for v0 in range(0, v_total, step):
+        sl = slice(v0, min(v0 + step, v_total))
+        t = (ay[:, sl, :, None] * ax[:, sl, None, :]).reshape(c, -1, p2)
+        hist = hist + jnp.einsum(
+            "cvz,cvp->czp", wz[:, sl, :], t, preferred_element_type=jnp.float32
         )
-    return jnp.stack(slices, axis=1)  # [C, 11(z), 11(y), 11(x)]
+    return hist.reshape(c, PATCH_DIM, PATCH_DIM, PATCH_DIM)
 
 
 def _interp_hist_peaks(hist: jnp.ndarray, pz, py, px) -> jnp.ndarray:
