@@ -4,7 +4,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 metric  = end-to-end feature extraction (pyramid + refinement + orientation
           + GoH descriptors) on a 182x218x182 volume (MNI 1mm T1 grid).
-value   = volumes/sec on one chip (median of timed runs, post-warmup).
+value   = volumes/sec on one chip (median of 5 timed runs, post-warmup).
 vs_baseline = speedup vs the reference's only in-tree wall-clock number:
           ~55 s for the CPU Gaussian pyramid on a comparable volume
           (src_common/GaussBlur3D.cpp:527 code comment) — i.e.
@@ -83,7 +83,7 @@ def main() -> None:
     n_feats = [len(f) for f in feats]
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         feats = extract_features_many(vols, DEFAULT_CONFIG)
         times.append(time.perf_counter() - t0)
