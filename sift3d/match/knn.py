@@ -65,13 +65,16 @@ def knn_search_tiled(queries, db, k: int, tile: int = 4096):
         dbn = np.concatenate([dbn, pad])
     db_d = jnp.asarray(dbn)
 
-    outs_d, outs_i = [], []
+    # dispatch every tile asynchronously, then fetch all results in one
+    # device_get: per-tile np.asarray would pay a relay round-trip each
+    pending = []
     for s in range(0, q.shape[0], tile):
         block = q[s : s + tile]
         qb = _pow2_bucket(block.shape[0], lo=min(tile, 256))
         if qb != block.shape[0]:
             block = np.concatenate([block, np.zeros((qb - block.shape[0], q.shape[1]), np.float32)])
-        d, i = knn_search(jnp.asarray(block), db_d, k)
-        outs_d.append(np.asarray(d)[: min(tile, q.shape[0] - s)])
-        outs_i.append(np.asarray(i)[: min(tile, q.shape[0] - s)])
+        pending.append(knn_search(jnp.asarray(block), db_d, k))
+    host = jax.device_get(pending)
+    outs_d = [d[: min(tile, q.shape[0] - s)] for (d, _), s in zip(host, range(0, q.shape[0], tile))]
+    outs_i = [i[: min(tile, q.shape[0] - s)] for (_, i), s in zip(host, range(0, q.shape[0], tile))]
     return np.concatenate(outs_d), np.concatenate(outs_i)
