@@ -561,6 +561,7 @@ def sample_patches_rotated_slab(
     oris: jnp.ndarray,  # [R, 3, 3]
     box: int = _RBOX_SMALL,
     count: jnp.ndarray | None = None,  # live rows; padding rows skipped
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """TPU rotated patch sampler with in-kernel slab DMA (see
     _rot_slab_kernel). Same contract and numerics model as
@@ -631,6 +632,7 @@ def sample_patches_rotated_slab(
         _rot_slab_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, n_vc, _SLAB_VCHUNK), jnp.float32),
+        interpret=interpret,
     )(offs, cnt, lz_l, ly_l, lx_l, gs_p)
 
     vals = vals.reshape(r, _VPAD)[:, :v_total]
