@@ -213,6 +213,183 @@ def sample_patches_identity_boxed(
     return t
 
 
+def _id_slab_kernel(xd: int, offs_ref, cnt_ref, ux_ref, uy_ref, uz_ref,
+                    g_ref, out_ref, slab_s, sem):
+    """Per-row identity-orientation patch: DMA a full-x slab of the row's
+    bounding region (double-buffered), cut the x window with a lane roll,
+    and run the exact separable 2-tap contraction in f32.
+
+    Same DMA geometry as _rot_slab_kernel (lane slicing and unaligned y
+    offsets are illegal, so [bz, box+8, Xp] at y0a = 8*(y0//8) with the
+    caller's +8 y zero-apron). Identity patches factor per axis, so the
+    only sizable op is one [bz*(box+8), 64] x [64, 16] f32 matmul per
+    row; y and z finish as 11 broadcast-reduces and one tiny matmul.
+    Replaces the XLA vmap'd dynamic_slice box gather (gather engine,
+    ~42 GB/s) and skips candidate-padding rows via the live count.
+    """
+    bz, by_dma, xp = slab_s.shape[1], slab_s.shape[2], slab_s.shape[3]
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    cnt = cnt_ref[0]
+
+    def copy(row, slot):
+        l, z0, y8 = offs_ref[0, row], offs_ref[1, row], offs_ref[2, row]
+        return pltpu.make_async_copy(
+            g_ref.at[l, pl.ds(z0, bz), pl.ds(y8 * 8, by_dma), :],
+            slab_s.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when((i == 0) & (cnt > 0))
+    def _():
+        copy(0, 0).start()
+
+    @pl.when((i + 1 < n) & (i + 1 < cnt))
+    def _():
+        copy(i + 1, (i + 1) % 2).start()
+
+    @pl.when(i < cnt)
+    def _():
+        copy(i, i % 2).wait()
+        x0 = offs_ref[3, i]
+        y_hi = offs_ref[4, i].astype(jnp.float32)
+
+        rolled = pltpu.roll(slab_s[i % 2], -x0, 2)
+        win = rolled[..., :_XWIN]  # [bz, by_dma, 64]
+
+        nv = ux_ref.shape[1]  # 16 (11 taps + lane padding)
+
+        def taps_t(l, b, hi):
+            # transposed 2-tap linear weights [b, nv] (0.5-center), border
+            # saturation at position hi
+            i0 = jnp.clip(jnp.floor(l - 0.5), 0.0, hi)
+            w0 = jnp.clip(1.0 - (l - 0.5 - i0), 0.0, 1.0)
+            i0i = i0.astype(jnp.int32)
+            kb = jax.lax.broadcasted_iota(jnp.int32, (b, nv), 0)
+            return jnp.where(kb == i0i[None, :], w0[None, :], 0.0) + jnp.where(
+                kb == i0i[None, :] + 1, 1.0 - w0[None, :], 0.0
+            )
+
+        axt = taps_t(ux_ref[0], _XWIN, float(_XWIN - 2))  # [64, 16]
+        ayt = taps_t(uy_ref[0], by_dma, y_hi)  # [by_dma, 16]
+        aztr = taps_t(uz_ref[0], bz, bz - 2.0)  # [bz, 16]
+
+        t1 = jnp.dot(
+            win.reshape(bz * by_dma, _XWIN), axt,
+            preferred_element_type=jnp.float32,
+        ).reshape(bz, by_dma, nv)
+        # y: 11 broadcast-reduces into a [bz, 11*16] plane, then z as one
+        # tiny matmul
+        t2 = jnp.concatenate(
+            [
+                (t1 * ayt[None, :, iy, None]).sum(axis=1)
+                for iy in range(PATCH_DIM)
+            ],
+            axis=-1,
+        )  # [bz, 11*16]
+        out_ref[0] = jnp.dot(
+            aztr.T[:PATCH_DIM], t2, preferred_element_type=jnp.float32
+        )  # [11, 11*16]
+
+
+def sample_patches_identity_slab(
+    gstack: jnp.ndarray,  # [L, Z, Y, X]
+    lvl: jnp.ndarray,  # [R] int32
+    centers: jnp.ndarray,  # [R, 3] (x, y, z)
+    scales: jnp.ndarray,  # [R]
+    count: jnp.ndarray | None = None,  # live rows; padding rows skipped
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """TPU identity-patch sampler with in-kernel slab DMA (see
+    _id_slab_kernel). Same contract and f32 numerics model as
+    sample_patches_identity_boxed. Requires zd >= 40, yd >= 40, xd >= 64
+    (gather_stage falls back to the boxed sampler on tiny octaves)."""
+    nl, zd, yd, xd = gstack.shape
+    box = _BOX
+    bz, by_dma = box, box + 8
+    xp = -(-xd // 128) * 128
+    r = centers.shape[0]
+
+    gs_p = jnp.pad(gstack, ((0, 0), (0, 0), (0, 8), (0, xp - xd)))
+
+    z0 = jnp.clip(jnp.floor(centers[:, 2]).astype(jnp.int32) - bz // 2, 0, zd - bz)
+    y0 = jnp.clip(jnp.floor(centers[:, 1]).astype(jnp.int32) - box // 2, 0, yd - box)
+    y8 = y0 // 8
+    x0 = jnp.clip(
+        jnp.floor(centers[:, 0]).astype(jnp.int32) - _XWIN // 2, 0, xd - _XWIN
+    )
+    y_hi = jnp.minimum((yd - 2) - y8 * 8, by_dma - 2)
+    offs = jnp.stack([lvl, z0, y8, x0, y_hi], axis=0).astype(jnp.int32)
+    cnt = (
+        jnp.full((1,), r, jnp.int32)
+        if count is None
+        else jnp.asarray(count, jnp.int32).reshape(1)
+    )
+
+    # per-axis continuous sample coords (11 taps padded to 16 lanes),
+    # local to the slab origin on y/z and to the roll window on x
+    fac = 2.0 * scales / float(PATCH_RAD)
+    offs11 = jnp.arange(PATCH_DIM, dtype=jnp.float32) - PATCH_RAD
+
+    def locals16(coord, org):
+        u = coord[:, None] + offs11[None, :] * fac[:, None]
+        u = u - org[:, None].astype(jnp.float32)
+        return jnp.pad(u, ((0, 0), (0, 16 - PATCH_DIM)))
+
+    ux = locals16(centers[:, 0], x0)
+    uy = locals16(centers[:, 1], y8 * 8)
+    uz = locals16(centers[:, 2], z0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i, o, c: (i, 0)),
+            pl.BlockSpec((1, 16), lambda i, o, c: (i, 0)),
+            pl.BlockSpec((1, 16), lambda i, o, c: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # padded gstack stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, PATCH_DIM, PATCH_DIM * 16), lambda i, o, c: (i, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bz, by_dma, xp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    vals = pl.pallas_call(
+        functools.partial(_id_slab_kernel, xd),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (r, PATCH_DIM, PATCH_DIM * 16), jnp.float32
+        ),
+        interpret=interpret,
+    )(offs, cnt, ux, uy, uz, gs_p)
+
+    return vals.reshape(r, PATCH_DIM, PATCH_DIM, 16)[..., :PATCH_DIM]
+
+
+def _id_slab_ok(gstack) -> bool:
+    nl, zd, yd, xd = gstack.shape
+    return zd >= _BOX and yd >= _BOX and xd >= _XWIN
+
+
+def sample_patches_identity(gstack, lvl, centers, scales, count=None):
+    """Identity-patch sampling: slab-DMA Pallas kernel on TPU (boxed XLA
+    slices where the slab does not fit or off-TPU)."""
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and _id_slab_ok(gstack)
+        and not os.environ.get("SIFT3D_NO_SLAB_IDENTITY")
+    ):
+        return sample_patches_identity_slab(
+            gstack, lvl, centers, scales, count=count
+        )
+    return sample_patches_identity_boxed(gstack, lvl, centers, scales)
+
+
 _RBOX = 64  # rotated-patch box (covers sqrt(3) * max patch extent)
 _RBOX_SMALL = 48  # small-scale bucket: 2.4x fewer MXU FLOPs than 64^3, and
 # its threshold scale 6.50 covers nearly every emitted row in practice

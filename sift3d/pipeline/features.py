@@ -250,12 +250,15 @@ def gather_stage_union(gstacks, dogs, vi, lvl, zyx, valid, sigmas: Tuple[float, 
 
     # identity-orientation patch from the Gaussian level matching the
     # center DoG index (fioG0 at generation time, see SURVEY.md 3.2);
-    # boxed separable sampling — exact for in-bounds (kept) candidates
-    from sift3d.kernels.patch import sample_patches_identity_boxed
+    # slab-DMA separable sampling on TPU (boxed XLA slices elsewhere) —
+    # exact f32 for in-bounds (kept) candidates, padding rows skipped
+    from sift3d.kernels.patch import sample_patches_identity
 
     ngl = gstacks.shape[1]
     gstackf = gstacks.reshape(b * ngl, zd, yd, xd)
-    patches = sample_patches_identity_boxed(gstackf, vi * ngl + lvl, xyz, scale)
+    patches = sample_patches_identity(
+        gstackf, vi * ngl + lvl, xyz, scale, count=valid.sum()
+    )
 
     return xyz, scale, keep, patches
 

@@ -341,3 +341,43 @@ def test_slab_rotated_sampler_matches_boxed(rng):
         )
     )
     assert np.abs(ref[:8] - got8[:8]).max() < 2e-2 * scale
+
+
+def test_identity_slab_sampler_matches_boxed(rng):
+    """Identity slab-DMA sampler (interpret mode) vs the boxed XLA
+    sampler: exact f32 separable interpolation, border saturation, and
+    the live-count skip."""
+    from sift3d.kernels.patch import (
+        sample_patches_identity_boxed,
+        sample_patches_identity_slab,
+    )
+
+    L, Z, Y, X = 3, 64, 72, 80
+    gstack = jnp.asarray(
+        rng.standard_normal((L, Z, Y, X)).astype(np.float32) * 50 + 150
+    )
+    R = 16
+    lvl = jnp.asarray(rng.integers(0, L, R).astype(np.int32))
+    centers = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(3, X - 3, R),
+                rng.uniform(3, Y - 3, R),
+                rng.uniform(3, Z - 3, R),
+            ],
+            axis=1,
+        ).astype(np.float32)
+    )
+    scales = jnp.asarray(rng.uniform(3.2, 8.0, R).astype(np.float32))
+    ref = np.asarray(sample_patches_identity_boxed(gstack, lvl, centers, scales))
+    got = np.asarray(
+        sample_patches_identity_slab(gstack, lvl, centers, scales, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
+    got8 = np.asarray(
+        sample_patches_identity_slab(
+            gstack, lvl, centers, scales,
+            count=jnp.asarray([8], jnp.int32), interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got8[:8], ref[:8], rtol=1e-4, atol=1e-3)
