@@ -1,0 +1,61 @@
+"""Per-stage wall-clock breakdown of extract_features_many at bench size.
+
+Run on the TPU (no platform override). Prints the StageTimer summary of
+the best of N timed runs plus the derived vol/s. Remember: every
+dispatch and sync carries a ~30-35 ms tunnel RTT floor on this runtime;
+"phaseX" rows are async dispatch costs, the *_counts/download rows are
+where device execution is actually awaited.
+
+Usage:
+    python scripts/bench_stages.py [batch] [repeats]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from sift3d.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from sift3d.core.config import DEFAULT_CONFIG
+    from sift3d.pipeline.extract import extract_features_many
+    from sift3d.utils.timing import StageTimer
+
+    vols = [bench.synthetic_t1(seed=7 + i) for i in range(batch)]
+    extract_features_many(vols, DEFAULT_CONFIG)  # warmup/compile
+
+    best = None
+    for _ in range(repeats):
+        timer = StageTimer(enabled=True)
+        t0 = time.perf_counter()
+        extract_features_many(vols, DEFAULT_CONFIG, timer=timer)
+        dt = time.perf_counter() - t0
+        if best is None or dt < best[0]:
+            best = (dt, timer)
+    dt, timer = best
+    print(f"total {dt * 1e3:.0f} ms -> {batch / dt:.2f} vol/s (best of {repeats})")
+    print(timer.summary())
+
+
+if __name__ == "__main__":
+    main()
