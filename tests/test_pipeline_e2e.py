@@ -154,3 +154,18 @@ def test_extract_stream_matches_many(cfg):
         np.testing.assert_allclose(g.xyz, w.xyz, rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(g.info, w.info)
         np.testing.assert_array_equal(g.desc, w.desc)
+
+
+def test_candidate_group_overflow_fallback(rng):
+    """A tiny candidate cap forces group-table overflow; the full-mask
+    fallback must recover the same features as a roomy cap."""
+    import dataclasses
+
+    vol = rng.standard_normal((32, 32, 32)).astype(np.float32) * 120
+    cfg_big = SiftConfig()
+    cfg_tiny = dataclasses.replace(cfg_big, max_candidates_per_level=1)
+    f_big = extract_features(vol, cfg_big)
+    f_tiny = extract_features(vol, cfg_tiny)
+    assert len(f_big) == len(f_tiny)
+    np.testing.assert_allclose(f_tiny.xyz, f_big.xyz, atol=1e-5)
+    np.testing.assert_allclose(f_tiny.desc, f_big.desc, atol=1e-5)
