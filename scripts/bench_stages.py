@@ -18,9 +18,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
-
 def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -29,13 +26,7 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "bench", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
-    )
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
+    import bench
 
     from sift3d.core.config import DEFAULT_CONFIG
     from sift3d.pipeline.extract import extract_features_many

@@ -213,7 +213,21 @@ def sample_patches_identity_boxed(
     return t
 
 
-def _id_slab_kernel(xd: int, offs_ref, cnt_ref, ux_ref, uy_ref, uz_ref,
+def _taps_transposed(l, b: int, hi):
+    """Transposed 2-tap linear interpolation weights [b, len(l)] with the
+    0.5-voxel-center convention, border saturation at integer position
+    `hi` (all weight collapses onto hi+1 past the border). Shared by the
+    slab-DMA kernels so the tap convention cannot drift between them."""
+    i0 = jnp.clip(jnp.floor(l - 0.5), 0.0, hi)
+    w0 = jnp.clip(1.0 - (l - 0.5 - i0), 0.0, 1.0)
+    i0i = i0.astype(jnp.int32)
+    kb = jax.lax.broadcasted_iota(jnp.int32, (b, l.shape[0]), 0)
+    return jnp.where(kb == i0i[None, :], w0[None, :], 0.0) + jnp.where(
+        kb == i0i[None, :] + 1, 1.0 - w0[None, :], 0.0
+    )
+
+
+def _id_slab_kernel(offs_ref, cnt_ref, ux_ref, uy_ref, uz_ref,
                     g_ref, out_ref, slab_s, sem):
     """Per-row identity-orientation patch: DMA a full-x slab of the row's
     bounding region (double-buffered), cut the x window with a lane roll,
@@ -258,21 +272,9 @@ def _id_slab_kernel(xd: int, offs_ref, cnt_ref, ux_ref, uy_ref, uz_ref,
         win = rolled[..., :_XWIN]  # [bz, by_dma, 64]
 
         nv = ux_ref.shape[1]  # 16 (11 taps + lane padding)
-
-        def taps_t(l, b, hi):
-            # transposed 2-tap linear weights [b, nv] (0.5-center), border
-            # saturation at position hi
-            i0 = jnp.clip(jnp.floor(l - 0.5), 0.0, hi)
-            w0 = jnp.clip(1.0 - (l - 0.5 - i0), 0.0, 1.0)
-            i0i = i0.astype(jnp.int32)
-            kb = jax.lax.broadcasted_iota(jnp.int32, (b, nv), 0)
-            return jnp.where(kb == i0i[None, :], w0[None, :], 0.0) + jnp.where(
-                kb == i0i[None, :] + 1, 1.0 - w0[None, :], 0.0
-            )
-
-        axt = taps_t(ux_ref[0], _XWIN, float(_XWIN - 2))  # [64, 16]
-        ayt = taps_t(uy_ref[0], by_dma, y_hi)  # [by_dma, 16]
-        aztr = taps_t(uz_ref[0], bz, bz - 2.0)  # [bz, 16]
+        axt = _taps_transposed(ux_ref[0], _XWIN, float(_XWIN - 2))  # [64, 16]
+        ayt = _taps_transposed(uy_ref[0], by_dma, y_hi)  # [by_dma, 16]
+        aztr = _taps_transposed(uz_ref[0], bz, bz - 2.0)  # [bz, 16]
 
         t1 = jnp.dot(
             win.reshape(bz * by_dma, _XWIN), axt,
@@ -297,7 +299,7 @@ def sample_patches_identity_slab(
     lvl: jnp.ndarray,  # [R] int32
     centers: jnp.ndarray,  # [R, 3] (x, y, z)
     scales: jnp.ndarray,  # [R]
-    count: jnp.ndarray | None = None,  # live rows; padding rows skipped
+    count: jnp.ndarray | None = None,  # live-row PREFIX; rows >= count skipped
     interpret: bool = False,
 ) -> jnp.ndarray:
     """TPU identity-patch sampler with in-kernel slab DMA (see
@@ -358,7 +360,7 @@ def sample_patches_identity_slab(
         ],
     )
     vals = pl.pallas_call(
-        functools.partial(_id_slab_kernel, xd),
+        _id_slab_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (r, PATCH_DIM, PATCH_DIM * 16), jnp.float32
@@ -376,7 +378,12 @@ def _id_slab_ok(gstack) -> bool:
 
 def sample_patches_identity(gstack, lvl, centers, scales, count=None):
     """Identity-patch sampling: slab-DMA Pallas kernel on TPU (boxed XLA
-    slices where the slab does not fit or off-TPU)."""
+    slices where the slab does not fit or off-TPU).
+
+    `count`, when given, must be the length of a PREFIX of live rows:
+    the TPU kernel skips rows >= count entirely and leaves their output
+    uninitialized (the extract pipeline pads candidate chunks at the
+    tail, so valid rows always form a prefix)."""
     import os
 
     if (
@@ -697,22 +704,12 @@ def _rot_slab_kernel(offs_ref, cnt_ref, lz_ref, ly_ref, lx_ref,
         boxv = win.reshape(bz, kk).astype(jnp.bfloat16)
 
         n_vc, nv = lz_ref.shape[1], lz_ref.shape[2]
-
-        def taps_t(l, b, hi):
-            # transposed 2-tap linear weights [b, nv] (0.5-center), border
-            # saturation at position hi
-            i0 = jnp.clip(jnp.floor(l - 0.5), 0.0, hi)
-            w0 = jnp.clip(1.0 - (l - 0.5 - i0), 0.0, 1.0)
-            i0i = i0.astype(jnp.int32)
-            kb = jax.lax.broadcasted_iota(jnp.int32, (b, l.shape[0]), 0)
-            return jnp.where(kb == i0i[None, :], w0[None, :], 0.0) + jnp.where(
-                kb == i0i[None, :] + 1, 1.0 - w0[None, :], 0.0
-            )
-
         for v in range(n_vc):
-            azt = taps_t(lz_ref[0, v, :], bz, bz - 2.0)  # [bz, nv] f32
-            ayt = taps_t(ly_ref[0, v, :], by_dma, y_hi).astype(jnp.bfloat16)
-            axt = taps_t(lx_ref[0, v, :], _XWIN, float(_XWIN - 2)).astype(
+            azt = _taps_transposed(lz_ref[0, v, :], bz, bz - 2.0)  # [bz, nv]
+            ayt = _taps_transposed(ly_ref[0, v, :], by_dma, y_hi).astype(
+                jnp.bfloat16
+            )
+            axt = _taps_transposed(lx_ref[0, v, :], _XWIN, float(_XWIN - 2)).astype(
                 jnp.bfloat16
             )
             # the packed K layout is (y-pair, y-parity, dx), so both weight
@@ -737,15 +734,15 @@ def sample_patches_rotated_slab(
     scales: jnp.ndarray,  # [R]
     oris: jnp.ndarray,  # [R, 3, 3]
     box: int = _RBOX_SMALL,
-    count: jnp.ndarray | None = None,  # live rows; padding rows skipped
+    count: jnp.ndarray | None = None,  # live-row PREFIX; rows >= count skipped
     interpret: bool = False,
 ) -> jnp.ndarray:
     """TPU rotated patch sampler with in-kernel slab DMA (see
     _rot_slab_kernel). Same contract and numerics model as
-    sample_patches_rotated_boxed. Requires zd >= box, yd >= box + 16,
-    xd >= 64, box <= 48 (VMEM bound); the emit path falls back to the
-    boxed-slice kernel otherwise. The y-apron rows the aligned DMA may
-    touch come from an 8-row zero pad added here."""
+    sample_patches_rotated_boxed. Requires zd >= box, yd >= box,
+    xd >= 64, box <= 48 (VMEM bound; see _slab_ok) — the emit path falls
+    back to the boxed-slice kernel otherwise. The 8-aligned y origin may
+    reach up to 8 rows past yd, covered by the zero apron padded here."""
     nl, zd, yd, xd = gstack.shape
     bz, by_dma = box, box + 8
     xp = -(-xd // 128) * 128

@@ -20,21 +20,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def subsample_2x(vol: jnp.ndarray) -> jnp.ndarray:
+def subsample_2x(vol: jnp.ndarray, mxu: bool | None = None) -> jnp.ndarray:
     """Halve each spatial dimension of a [..., Z, Y, X] volume; each output
     voxel = mean of the 2x2x2 block.
 
     Matches fioSubSampleInterpolate for even dims (odd trailing voxels are
     dropped, as in the reference where out dims are in/2). Leading dims
     (volume batch) ride along.
+
+    mxu=None picks the matmul formulation on TPU (strided pair-means
+    lower to lane relayouts there, ~25 ms at batch-8 T1 size; the three
+    2-tap banded matmuls at HIGHEST are ~free and agree with the
+    reshape-mean to ~1 ulp — different f32 summation order, not
+    bit-identical). Pass mxu explicitly to pin a path (tests exercise
+    the matmul path on CPU; SIFT3D_NO_MXU_SUBSAMPLE=1 disables it).
     """
+    import os
+
     z, y, x = vol.shape[-3:]
     lead = vol.shape[:-3]
     z2, y2, x2 = z // 2, y // 2, x // 2
-    if jax.default_backend() == "tpu" and isinstance(vol, jnp.ndarray):
-        # strided pair-means lower to lane relayouts on TPU (~25 ms at
-        # batch-8 T1 size); three 2-tap banded matmuls ride the MXU
-        # instead (~1 ms, exact f32 via HIGHEST)
+    if mxu is None:
+        mxu = jax.default_backend() == "tpu" and not os.environ.get(
+            "SIFT3D_NO_MXU_SUBSAMPLE"
+        )
+    if mxu:
         def pool(dim, half):
             m = np.zeros((dim, half), np.float32)
             idx = np.arange(half)

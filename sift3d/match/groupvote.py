@@ -247,13 +247,10 @@ class GroupMatcher:
         """All images vs the database; one batched kNN then host vote logic."""
         import jax.numpy as jnp
 
-        import jax
-
         k = min(self.cfg.knn_neighbors, len(self.feat_img))
+        # knn_search_tiled batches all tiles' device fetches and returns
+        # host arrays, so the per-image slices below are free
         dists, idx = knn_search_tiled(self.db, jnp.asarray(self.db), k)
-        # one D2H for the whole result table: per-image device slices cost
-        # a tunnel round-trip each (~3 s at 4 images on the relay runtime)
-        dists, idx = jax.device_get([dists, idx])
         votes = np.zeros((self.n_img, self.n_labels), np.float64)
         counts = np.zeros((self.n_img, self.n_labels), np.int64)
         ll = np.zeros((self.n_img, self.n_labels), np.float64)

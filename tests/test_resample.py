@@ -79,3 +79,12 @@ def test_isotropic_resample_upscales_coarse_axis(rng):
     out, dmin = resample.isotropic_resample(jnp.asarray(vol), (1.0, 1.0, 2.0))
     assert dmin == 1.0
     assert out.shape == (8, 8, 8)
+
+
+def test_subsample_2x_mxu_matches_reshape_mean(rng):
+    """The TPU matmul formulation must agree with the 8-mean to fp32
+    reassociation tolerance (it is the octave base on TPU)."""
+    vol = jnp.asarray(rng.standard_normal((2, 34, 36, 38)).astype(np.float32) * 90)
+    a = np.asarray(resample.subsample_2x(vol, mxu=True))
+    b = np.asarray(resample.subsample_2x(vol, mxu=False))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-4)
