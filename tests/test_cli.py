@@ -73,3 +73,28 @@ def test_featmatch_cli_outputs(tmp_path, rng, monkeypatch):
     ts = SimilarityTransform.read_matrix(f"{k2}.trans.txt")
     np.testing.assert_allclose(ts.trans, [-2, 0, 0], atol=1.0)
     np.testing.assert_allclose(ts.scale, 1.0, rtol=0.05)
+
+
+def test_featextract_cli_brief_descriptors(tmp_path, rng):
+    """-b/-br/-bn switch the descriptor family (the reference documents
+    these flags but hardcodes brief=0; we implement the intent,
+    SURVEY.md quirk 1). BRIEF must differ from GoH on the same volume."""
+    from sift3d.cli import featextract as fe
+
+    vol = _blob_volume() * 200 + rng.normal(0, 1, (40, 40, 40)).astype(np.float32)
+    vp = str(tmp_path / "b.nii")
+    nifti.write(vp, vol)
+    kg = str(tmp_path / "goh.key")
+    kb = str(tmp_path / "brief.key")
+    kr = str(tmp_path / "rrief.key")
+    assert fe.main([vp, kg]) == 0
+    assert fe.main(["-b", vp, kb]) == 0
+    assert fe.main(["-br", vp, kr]) == 0
+    fg, _ = keyfile.read_text(kg)
+    fb, _ = keyfile.read_text(kb)
+    fr, _ = keyfile.read_text(kr)
+    # same keypoint geometry, different descriptor family
+    assert len(fg) == len(fb) == len(fr)
+    np.testing.assert_allclose(fb.xyz, fg.xyz, atol=1e-4)
+    assert not np.allclose(fb.desc, fg.desc)
+    assert not np.allclose(fr.desc, fb.desc)
