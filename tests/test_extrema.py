@@ -70,7 +70,7 @@ def test_quadratic_interp():
 
 
 def test_pallas_extrema_matches_lax_interpret(rng):
-    """Pallas sum-of-sign kernel (interpret mode) vs the lax stencil."""
+    """Pallas separable max/min kernel (interpret mode) vs the lax stencil."""
     import scipy.ndimage as ndi
 
     from sift3d.kernels.extrema_pallas import extrema_mask_pallas
