@@ -56,12 +56,20 @@ def ratio_match(
     queries: FeatureSet,
     db: FeatureSet,
     cfg: SiftConfig = DEFAULT_CONFIG,
+    knn: tuple | None = None,
 ) -> RatioMatches:
-    """For each query feature, nearest db feature + distance ratio."""
+    """For each query feature, nearest db feature + distance ratio.
+
+    `knn` optionally supplies precomputed (dists, idx) over this db (at
+    least _SHUFFLE_DEPTH deep) so callers matching many query sets
+    against one database batch the kNN into a single device sweep."""
     k = min(_SHUFFLE_DEPTH, len(db))
     if len(db) < 2 or len(queries) == 0:
         return RatioMatches(np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.float32))
-    dists, idx = knn_search_tiled(queries.desc, db.desc, k)
+    if knn is not None:
+        dists, idx = knn[0][:, :k], knn[1][:, :k]
+    else:
+        dists, idx = knn_search_tiled(queries.desc, db.desc, k)
 
     best_idx = idx[:, 0]
     d1 = dists[:, 0]
@@ -105,6 +113,7 @@ def match_keys(
     feats2: FeatureSet,
     cfg: SiftConfig = DEFAULT_CONFIG,
     refine: bool = False,
+    knn: tuple | None = None,
 ) -> MatchResult:
     """MatchKeys (featMatchUtilities.cpp:1027-1260): ratio-sorted matches
     capped at max_matches, then Hough similarity voting. feats2 is the
@@ -113,7 +122,7 @@ def match_keys(
     from sift3d.match.hough import hough_similarity
     from sift3d.match.register import SimilarityTransform
 
-    rm = ratio_match(feats2, feats1, cfg)
+    rm = ratio_match(feats2, feats1, cfg, knn=knn)
     order = np.argsort(rm.ratio, kind="stable")
     order = order[: cfg.max_matches]
     model_idx = rm.query_idx[order]
