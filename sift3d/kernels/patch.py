@@ -386,10 +386,13 @@ def sample_patches_identity(gstack, lvl, centers, scales, count=None):
     tail, so valid rows always form a prefix)."""
     import os
 
+    # opt-in until verified on real Mosaic: this kernel has only run in
+    # interpret mode so far (the TPU relay died before it could compile
+    # on hardware); a compile failure here would take down featExtract
     if (
         jax.default_backend() == "tpu"
         and _id_slab_ok(gstack)
-        and not os.environ.get("SIFT3D_NO_SLAB_IDENTITY")
+        and os.environ.get("SIFT3D_SLAB_IDENTITY")
     ):
         return sample_patches_identity_slab(
             gstack, lvl, centers, scales, count=count
