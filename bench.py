@@ -71,12 +71,13 @@ def main() -> None:
 
     # a batch of distinct volumes processed with interleaved scheduling:
     # volumes/sec is the serving metric, and phase interleaving hides the
-    # host-sync latency of any one volume. Batch 8 measured best with
-    # distinct volumes (larger batches land in underfilled shape buckets;
-    # 12+ volumes of pyramids pressure the 16 GB of HBM)
+    # host-sync latency of any one volume. Batch 12 measured best
+    # (12.95 vol/s vs 10.98 at batch 8: the ~350 ms of fixed dispatch/sync
+    # RTT amortizes over more volumes); batch 16's pyramids exceed the
+    # 16 GB of HBM
     import os
 
-    batch = int(os.environ.get("SIFT3D_BENCH_BATCH", "8"))
+    batch = int(os.environ.get("SIFT3D_BENCH_BATCH", "12"))
     vols = [synthetic_t1(seed=7 + i) for i in range(batch)]
     # warmup (compilation)
     feats = extract_features_many(vols, DEFAULT_CONFIG)
