@@ -181,26 +181,34 @@ def _phase2b_program(
     keep_all, cand_all, pn_all, eigs_all, eig_ori_all, xyz_all, scale_all,
     layout, cfg, reoriented: bool,
 ):
-    """Survivor selection + canonical orientations + emit counts for all
-    chunks in one program. layout: static (offset, cap, kbucket) per
-    surviving chunk. Returns concatenated kbucket-length selections plus
-    per-chunk row counts (the only value the host reads)."""
+    """Canonical orientations + emit counts for all chunks in one program.
+
+    layout: static (offset, cap) per chunk. Runs directly on the phase-2a
+    rows at chunk capacity — no survivor compaction and therefore NO host
+    sync between 2a and 2b: the host dispatches this program immediately
+    and the device flows straight from 2a into it. (The former
+    select_stage compaction saved little: survivor counts bucket to
+    near-capacity anyway, and the kept-count sync it required cost a full
+    tunnel round trip plus the 2a drain wait.) Non-survivor rows ride
+    along masked by kvalid; their order keys stay candidate-ordered, so
+    the host merge is unchanged. Returns the per-chunk
+    [total rows, small-box rows, kept] counts (the only host read)."""
     keys = ("kvalid", "cand", "pn", "eigs", "eig_ori", "xyz", "scale", "ori", "ori_valid")
     outs = {k: [] for k in keys}
     counts = []
-    for off, cap, kb in layout:
+    for off, cap in layout:
         sl = slice(off, off + cap)
-        kvalid, cand_k, pn_k, eigs_k, eig_ori_k, xyz_k, scale_k = fstage.select_stage(
-            keep_all[sl], cand_all[sl], pn_all[sl], eigs_all[sl], eig_ori_all[sl],
-            xyz_all[sl], scale_all[sl], kb,
-        )
+        kvalid = keep_all[sl]
+        pn_k = pn_all[sl]
+        scale_k = scale_all[sl]
         o = fstage.canonical_stage(pn_k, cfg)
         counts.append(
             fstage.emit_count_stage(kvalid, o["ori_valid"], scale_k, cfg, reoriented)
         )
         for key, v in zip(
             keys,
-            (kvalid, cand_k, pn_k, eigs_k, eig_ori_k, xyz_k, scale_k, o["ori"], o["ori_valid"]),
+            (kvalid, cand_all[sl], pn_k, eigs_all[sl], eig_ori_all[sl],
+             xyz_all[sl], scale_k, o["ori"], o["ori_valid"]),
         ):
             outs[key].append(v)
     return {k: jnp.concatenate(v) for k, v in outs.items()}, jnp.stack(counts)

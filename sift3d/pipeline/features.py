@@ -426,9 +426,11 @@ def resample_stage(gstack, xyz, scale, oris, lvl):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "reoriented"))
 def emit_count_stage(keep, ori_valid, scale, cfg: SiftConfig, reoriented: bool = True):
-    """[total rows, small-box reoriented rows] the chunk will emit (tiny,
-    read synchronously so the packing stage can run at the smallest
-    sufficient capacity, split by rotated-sampler box bucket)."""
+    """[total rows, small-box reoriented rows, kept candidates] the chunk
+    will emit (tiny, read synchronously so the packing stage can run at
+    the smallest sufficient capacity, split by rotated-sampler box
+    bucket; kept rides along so no separate survivor-count sync is
+    needed)."""
     from sift3d.kernels.patch import _RBOX_SMALL, rbox_max_scale
 
     c, k1, k2 = ori_valid.shape
@@ -438,8 +440,9 @@ def emit_count_stage(keep, ori_valid, scale, cfg: SiftConfig, reoriented: bool =
     rank = jnp.cumsum(ovf.astype(jnp.int32), axis=1) - 1
     reor = keep[:, None] & ovf & (rank < cfg.max_orientations)
     small = (scale <= rbox_max_scale(_RBOX_SMALL))[:, None]
-    total = keep.sum() + reor.sum()
-    return jnp.stack([total, (reor & small).sum()])
+    kept = keep.sum()
+    total = kept + reor.sum()
+    return jnp.stack([total, (reor & small).sum(), kept])
 
 
 def _pack_rows(order_key, vi, xyz, scale, eigs, ori, info):
