@@ -156,13 +156,13 @@ def _phase2a_program(stacks, cand_all, layout, sigmas, cfg):
     (~30-40 ms); at 6 octaves that was ~0.4 s of pure latency per batch.
     """
     outs = {k: [] for k in ("xyz", "scale", "pn", "eigs", "eig_ori", "keep_rows")}
-    kept = []
     off = 0
     for res_i, cap in layout:
         gstack, dogs = stacks[res_i]
         cand = jax.lax.slice_in_dim(cand_all, off, off + cap)
         off += cap
-        xyz, scale, pn, eigs, eig_ori, keep_rows, k = fstage.gather_eig_stage(
+        # kept count (last element) rides along in phase 2b's counts instead
+        xyz, scale, pn, eigs, eig_ori, keep_rows, _ = fstage.gather_eig_stage(
             gstack, dogs, cand, sigmas, cfg
         )
         for key, v in zip(
@@ -170,10 +170,7 @@ def _phase2a_program(stacks, cand_all, layout, sigmas, cfg):
             (xyz, scale, pn, eigs, eig_ori, keep_rows),
         ):
             outs[key].append(v)
-        kept.append(k)
-    res = {k: jnp.concatenate(v) for k, v in outs.items()}
-    res["kept"] = jnp.stack(kept)
-    return res
+    return {k: jnp.concatenate(v) for k, v in outs.items()}
 
 
 @functools.partial(jax.jit, static_argnames=("layout", "cfg", "reoriented"))
@@ -221,8 +218,9 @@ def _phase2c_program(gstacks, sel, layout, cfg, descriptor: str, reoriented: boo
     """Row packing + descriptors for all chunks in one program: unoriented
     rows reuse the gather-stage patches; reoriented rows resample rotated
     patches, bucketed by scale so small-scale rows use the 48^3 sampler
-    box. layout: static (res_index, koffset, kbucket, cap_small, cap_large)
-    per chunk. Takes only the Gaussian stacks (the DoG stacks are dead
+    box. layout: static (res_index, cap_offset, cap, cap_small, cap_large)
+    per surviving chunk; cap_offset/cap address the chunk's cap-length
+    (uncompacted) block in the concatenated phase-2b arrays. Takes only the Gaussian stacks (the DoG stacks are dead
     after phase 2a and freeing them is what lets a second in-flight batch
     fit in HBM). Returns the two concatenated download buffers."""
     packed, descs = [], []
@@ -480,16 +478,14 @@ def extract_features_many(
         for key in ("dogs", "mask", "gidx", "blocks"):
             res.pop(key, None)
 
-    # phase 2b: one sync for all chunk survivor counts, then run the
-    # expensive canonical-orientation histograms only on survivors
-    with timer.stage("kept_counts"):
-        kepts = np.asarray(r2a["kept"]).astype(np.int64)
+    # phase 2b: dispatched immediately with NO host sync between 2a and
+    # 2b — every chunk runs at its phase-2a capacity (non-survivor rows
+    # ride along masked by kvalid), so the device flows straight from the
+    # gather/eig program into the canonical-orientation histograms. The
+    # per-chunk kept counts come back in counts_d[:, 2].
     a_offs = np.concatenate([[0], np.cumsum([cap for _, cap in chunk_meta])])
-    surv = [i for i in range(len(chunk_meta)) if kepts[i] > 0]
-    if not surv:
-        return empty_result
     layout_b = tuple(
-        (int(a_offs[i]), chunk_meta[i][1], _bucket(int(kepts[i]), chunk)) for i in surv
+        (int(a_offs[i]), cap) for i, (_, cap) in enumerate(chunk_meta)
     )
     with timer.stage("phase2b"):
         sel, counts_d = _phase2b_program(
@@ -497,27 +493,30 @@ def extract_features_many(
             r2a["xyz"], r2a["scale"], layout_b, cfg, reoriented,
         )
 
-    # phase 2c: one sync for all chunk row counts, then the split emission:
-    # unoriented rows reuse the gather-stage patches (no resampling); only
-    # reoriented rows pay the rotated-patch resampling, bucketed by scale
-    # into 48^3- and 64^3-box sampler passes
+    # phase 2c: ONE sync for all per-chunk [total, small, kept] row
+    # counts, then the split emission: unoriented rows reuse the
+    # gather-stage patches (no resampling); only reoriented rows pay the
+    # rotated-patch resampling, bucketed by scale into 48^3- and 64^3-box
+    # sampler passes
     with timer.stage("row_counts"):
-        counts = np.asarray(counts_d).astype(np.int64)  # [n_chunks, 2]
-    k_offs = np.concatenate([[0], np.cumsum([kb for _, _, kb in layout_b])])
+        counts = np.asarray(counts_d).astype(np.int64)  # [n_chunks, 3]
+    surv = [i for i in range(len(chunk_meta)) if counts[i, 2] > 0]
+    if not surv:
+        return empty_result
     layout_c = []
     blocks: dict = {}
     p_off = 0
     for j, i in enumerate(surv):
-        kb = layout_b[j][2]
-        n_small = int(counts[j, 1])
-        n_large = int(counts[j, 0]) - int(kepts[i]) - n_small
+        cap = chunk_meta[i][1]
+        n_small = int(counts[i, 1])
+        n_large = int(counts[i, 0]) - int(counts[i, 2]) - n_small
         caps = tuple(
             _bucket(n, 16 * chunk) if (reoriented and n > 0) else 0
             for n in (n_small, n_large)
         )
-        layout_c.append((chunk_meta[i][0], int(k_offs[j]), kb) + caps)
-        blocks[j] = [(p_off, kb)]
-        p_off += kb
+        layout_c.append((chunk_meta[i][0], int(a_offs[i]), cap) + caps)
+        blocks[j] = [(p_off, cap)]
+        p_off += cap
         for cap_b in caps:
             if cap_b > 0:
                 blocks[j].append((p_off, cap_b))
