@@ -60,24 +60,16 @@ def synthetic_t1(dims=(182, 218, 182), n_blobs=160, seed=7):
     return build(jnp.asarray(centers), jnp.asarray(sigmas), jnp.asarray(amps))
 
 
-def main() -> None:
-    import jax
+def _is_oom(exc: BaseException) -> bool:
+    s = str(exc)
+    return "RESOURCE_EXHAUSTED" in s or "out of memory" in s.lower()
 
+
+def _run_batch(batch: int):
+    """Time extraction at one batch size. Returns (volumes/sec, feat counts)."""
     from sift3d.core.config import DEFAULT_CONFIG
     from sift3d.pipeline.extract import extract_features_many
-    from sift3d.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
-
-    # a batch of distinct volumes processed with interleaved scheduling:
-    # volumes/sec is the serving metric, and phase interleaving hides the
-    # host-sync latency of any one volume. Batch 12 measured best
-    # (12.95 vol/s vs 10.98 at batch 8: the ~350 ms of fixed dispatch/sync
-    # RTT amortizes over more volumes); batch 16's pyramids exceed the
-    # 16 GB of HBM
-    import os
-
-    batch = int(os.environ.get("SIFT3D_BENCH_BATCH", "12"))
     vols = [synthetic_t1(seed=7 + i) for i in range(batch)]
     # warmup (compilation)
     feats = extract_features_many(vols, DEFAULT_CONFIG)
@@ -86,32 +78,61 @@ def main() -> None:
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        feats = extract_features_many(vols, DEFAULT_CONFIG)
+        extract_features_many(vols, DEFAULT_CONFIG)
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    vps = batch / dt
+    return batch / float(np.median(times)), n_feats
 
-    baseline_cpu_s = 55.0  # GaussBlur3D.cpp:527 (CPU pyramid, dev machine)
-    print(
-        json.dumps(
-            {
-                "metric": "featExtract volumes/sec (182x218x182 T1-sized, GoH descriptors, "
-                f"batch of {batch}, {n_feats} features)",
-                "value": round(vps, 4),
-                "unit": "volumes/sec/chip",
-                "vs_baseline": round(vps * baseline_cpu_s, 2),
-            }
-        )
-    )
+
+def main() -> None:
+    import os
+    import sys
+    import traceback
+
+    from sift3d.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    # a batch of distinct volumes processed with interleaved scheduling:
+    # volumes/sec is the serving metric, and phase interleaving hides the
+    # host-sync latency of any one volume. Batch 12 measured best
+    # (12.95 vol/s vs 10.98 at batch 8); HBM headroom varies run to run on
+    # the shared relay chip, so on RESOURCE_EXHAUSTED the batch steps down
+    # (12 -> 8 -> 4 -> 2 -> 1) instead of failing the round — the bench
+    # must always report a number. Transient (non-OOM) backend errors get
+    # one retry at the same batch size.
+    start = int(os.environ.get("SIFT3D_BENCH_BATCH", "12"))
+    ladder = [b for b in (start, 8, 4, 2, 1) if b <= start]
+    ladder = sorted(set(ladder), reverse=True)
+    last_exc: BaseException | None = None
+    for batch in ladder:
+        for attempt in range(2):
+            try:
+                vps, n_feats = _run_batch(batch)
+            except Exception as exc:  # noqa: BLE001 — report, then step down
+                last_exc = exc
+                traceback.print_exc(file=sys.stderr)
+                if _is_oom(exc):
+                    print(
+                        f"# batch {batch} exhausted HBM; stepping down",
+                        file=sys.stderr,
+                    )
+                    break  # smaller batch, no point retrying this one
+                continue  # transient backend error: one retry, same batch
+            baseline_cpu_s = 55.0  # GaussBlur3D.cpp:527 (CPU pyramid)
+            print(
+                json.dumps(
+                    {
+                        "metric": "featExtract volumes/sec (182x218x182 T1-sized, "
+                        f"GoH descriptors, batch of {batch}, {n_feats} features)",
+                        "value": round(vps, 4),
+                        "unit": "volumes/sec/chip",
+                        "vs_baseline": round(vps * baseline_cpu_s, 2),
+                    }
+                )
+            )
+            return
+    raise SystemExit(f"bench failed at every batch size in {ladder}: {last_exc}")
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception:
-        # the TPU relay occasionally kills a process with a transient
-        # backend error; one clean retry in a fresh attempt
-        import traceback
-
-        traceback.print_exc()
-        main()
+    main()
