@@ -1,10 +1,14 @@
 """Volume-batch data-parallel scaling measurement.
 
-Measures the dense pyramid (the dominant extraction compute) over a batch
-of volumes sharded across N devices, for N in 1..num_devices, and reports
-scaling efficiency. On real pod slices this is the volumes/sec scaling
-headline; on the simulated CPU mesh (default here) the numbers validate
-the sharding structure rather than absolute speed.
+Two sections:
+  1. dense pyramid octave step, GSPMD-sharded over the batch axis;
+  2. FULL extraction pipeline end-to-end via placement DP
+     (sift3d.dist.batch.extract_features_batch), volumes/sec at N devices.
+
+On real pod slices this is the volumes/sec scaling headline; on the
+simulated CPU mesh (default here) the numbers validate the sharding and
+placement structure rather than absolute speed. Emits a JSON summary line
+so PERFORMANCE.md's SCALING section can cite an artifact.
 
 Usage:
     python scripts/bench_scaling.py [--dims 64] [--steps 3] [--tpu]
@@ -64,6 +68,44 @@ def main():
         results[n] = vps
         eff = vps / (results[1] * n) if 1 in results and n > 1 else 1.0
         print(f"devices={n:2d}  batch-octave volumes/sec={vps:8.2f}  scaling-efficiency={eff:6.2f}")
+
+    # ---- full pipeline end-to-end (placement DP) ----
+    import json
+
+    import scipy.ndimage as ndi
+
+    print("\nfull extraction pipeline (extract_features_batch):")
+    evols = [
+        ndi.gaussian_filter(rng.standard_normal((d, d, d)), 1.8).astype(np.float32) * 120
+        for _ in range(n_dev)
+    ]
+    e2e = {}
+    for n in [1, 2, 4, n_dev]:
+        if n > n_dev or n in e2e:
+            continue
+        mesh = dmesh.make_mesh(batch=n, space=1, devices=jax.devices()[:n])
+        vols_n = evols[:n]
+        dbatch.extract_features_batch(vols_n, mesh, cfg)  # compile
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            feats = dbatch.extract_features_batch(vols_n, mesh, cfg)
+        dt = (time.perf_counter() - t0) / args.steps
+        e2e[n] = n / dt
+        eff = e2e[n] / (e2e[1] * n) if 1 in e2e and n > 1 else 1.0
+        print(
+            f"devices={n:2d}  e2e volumes/sec={e2e[n]:8.2f}  "
+            f"scaling-efficiency={eff:6.2f}  feats={[len(f) for f in feats]}"
+        )
+    print(
+        json.dumps(
+            {
+                "octave_step_vps": {str(k): round(v, 3) for k, v in results.items()},
+                "e2e_vps": {str(k): round(v, 3) for k, v in e2e.items()},
+                "dims": d,
+                "devices": n_dev,
+            }
+        )
+    )
     return 0
 
 

@@ -38,27 +38,55 @@ def initial_blur_batch(vols: jnp.ndarray, cfg: SiftConfig, initial_image_scale: 
 
 
 def extract_features_batch(
-    vols: np.ndarray,
+    vols,
     mesh: Mesh,
     cfg: SiftConfig = DEFAULT_CONFIG,
     initial_image_scale: float = 1.0,
     descriptor: str = "goh",
+    reoriented: bool = True,
 ) -> List[FeatureSet]:
-    """Extract features from a batch of same-shape volumes sharded over the
-    mesh's batch axis. The dense pyramid runs fully data-parallel; the
-    ragged feature stage then runs per volume (device-resident throughout).
+    """Extract features from N volumes end-to-end over the mesh's devices.
+
+    Design: volume-level data parallelism by *placement*, not by GSPMD
+    sharding. Each mesh device gets a round-robin group of volumes and
+    runs the ENTIRE pipeline (dense pyramid, candidate compaction, ragged
+    feature phases, descriptors) on its own group, committed to that
+    device via extract_features_many(device=...). One host thread per
+    device keeps every chip's dispatch queue full and overlaps the
+    per-group host work (candidate decode, feature assembly).
+
+    Why not shard the stacked batch with a NamedSharding: the dense phase
+    would indeed run SPMD with zero collectives, but the ragged feature
+    phases gather from per-volume pyramids at data-dependent rows — under
+    GSPMD those gathers all-gather the (hundreds-of-MB) Gaussian stacks
+    across the mesh. Placement DP keeps every byte of pyramid local to
+    the chip that owns the volume: the only cross-device traffic in the
+    whole extraction is zero, matching the reference's premise that
+    volumes are independent (featExtract.cpp:315-328 runs one volume per
+    GPU) while actually delivering N-chip volumes/sec.
     """
+    import concurrent.futures
+
     from sift3d.pipeline.extract import extract_features_many
 
-    sharding = NamedSharding(mesh, P("batch", None, None, None))
-    vb = jax.device_put(jnp.asarray(vols, jnp.float32), sharding)
-    # warm the sharded pyramid path (the dominant compute) ...
-    bases = initial_blur_batch(vb, cfg, initial_image_scale)
-    _ = octave_step_batch(bases, cfg)
-    # ... then run the interleaved multi-volume pipeline (the ragged
-    # feature stage runs per volume on its own data; the sharded batch
-    # step above is what the multi-chip benchmark measures)
-    return extract_features_many(
-        [vols[b] for b in range(vols.shape[0])],
-        cfg, initial_image_scale=initial_image_scale, descriptor=descriptor,
-    )
+    vols = [np.asarray(v, np.float32) for v in vols]
+    devices = list(mesh.devices.ravel())
+    n_dev = max(1, min(len(devices), len(vols)))
+    groups = [(d, list(range(d, len(vols), n_dev))) for d in range(n_dev)]
+
+    out: List[FeatureSet] = [None] * len(vols)  # type: ignore[list-item]
+
+    def run(group):
+        di, ids = group
+        feats = extract_features_many(
+            [vols[i] for i in ids], cfg,
+            initial_image_scale=initial_image_scale, descriptor=descriptor,
+            reoriented=reoriented, device=devices[di],
+        )
+        return ids, feats
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=n_dev) as ex:
+        for ids, feats in ex.map(run, groups):
+            for i, f in zip(ids, feats):
+                out[i] = f
+    return out

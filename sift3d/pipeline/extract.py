@@ -303,6 +303,7 @@ def extract_features_many(
     descriptor: str = "goh",
     reoriented: bool = True,
     timer: Optional[StageTimer] = None,
+    device=None,
 ):
     """Extract features from several volumes with interleaved scheduling.
 
@@ -310,6 +311,13 @@ def extract_features_many(
     handful of host synchronization points is paid once per *batch* rather
     than once per volume — on latency-bound runtimes this raises
     volumes/sec substantially over sequential extraction.
+
+    device: optional jax.Device to pin the whole pipeline to. Every jitted
+    phase follows its (committed) inputs, so committing the volume stack
+    and the candidate upload is enough to keep all compute and all
+    intermediates resident on that device — this is the building block of
+    multi-chip data parallelism (sift3d.dist.batch places one volume group
+    per mesh device and runs them concurrently).
     """
     timer = timer or StageTimer(enabled=False)
     sigmas = tuple(cfg.level_sigmas())
@@ -319,7 +327,16 @@ def extract_features_many(
     # per-dispatch host latency through the tunnel (~30 ms RTT) dominates
     # octave compute, so every phase below runs one program per
     # (shape-group, octave) instead of one per (volume, octave)
-    arrs = [jnp.asarray(img, dtype=jnp.float32) for img in imgs]
+    if device is not None:
+        arrs = [
+            jax.device_put(
+                img if isinstance(img, jax.Array) else np.asarray(img, np.float32),
+                device,
+            ).astype(jnp.float32)
+            for img in imgs
+        ]
+    else:
+        arrs = [jnp.asarray(img, dtype=jnp.float32) for img in imgs]
     groups: dict = {}
     for i, a in enumerate(arrs):
         groups.setdefault(tuple(a.shape), []).append(i)
@@ -465,7 +482,11 @@ def extract_features_many(
     stacks = tuple((res["gstack"], res["dogs"]) for (_, _, res, _) in octave_results)
     layout_a = tuple(chunk_meta)
     with timer.stage("cand_upload"):
-        cand_all = jnp.asarray(np.concatenate(cand_parts, axis=0))
+        cand_host = np.concatenate(cand_parts, axis=0)
+        cand_all = (
+            jax.device_put(cand_host, device) if device is not None
+            else jnp.asarray(cand_host)
+        )
     with timer.stage("phase2a"):
         r2a = _phase2a_program(stacks, cand_all, layout_a, sigmas, cfg)
     # the DoG stacks, extrema masks and compaction buffers are dead once

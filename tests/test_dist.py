@@ -60,6 +60,33 @@ def test_batch_octave_step_sharded(rng, mesh8):
     np.testing.assert_allclose(np.asarray(res.dogs[3]), np.asarray(want.dogs), rtol=1e-4, atol=1e-5)
 
 
+def test_extract_features_batch_matches_single_device(rng, mesh8):
+    """END-TO-END multi-chip DP: 8 volumes extracted on 8 devices (one
+    volume pinned per device, full pipeline local) must equal the
+    single-device extraction of the same volumes."""
+    import scipy.ndimage as ndi
+
+    from sift3d.pipeline.extract import extract_features_many
+
+    cfg = SiftConfig(feature_chunk=128)
+    vols = []
+    for b in range(8):
+        v = rng.standard_normal((24, 24, 24)).astype(np.float32)
+        vols.append(ndi.gaussian_filter(v, 1.8).astype(np.float32) * 120)
+
+    want = extract_features_many(vols, cfg)
+    got = dbatch.extract_features_batch(vols, mesh8, cfg)
+
+    assert sum(len(f) for f in want) > 0, "fixture produced no features"
+    for b in range(8):
+        assert len(got[b]) == len(want[b]), f"volume {b} feature count"
+        np.testing.assert_allclose(got[b].xyz, want[b].xyz, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got[b].scale, want[b].scale, rtol=1e-5)
+        np.testing.assert_array_equal(got[b].info, want[b].info)
+        np.testing.assert_allclose(got[b].desc, want[b].desc, atol=1.0)
+        np.testing.assert_allclose(got[b].ori, want[b].ori, rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_knn_matches_local(rng, mesh8):
     db = rng.standard_normal((64, 16)).astype(np.float32)
     q = rng.standard_normal((32, 16)).astype(np.float32)  # 32 divisible by 8
