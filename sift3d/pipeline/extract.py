@@ -89,9 +89,11 @@ def _compact_mask(mask: jnp.ndarray, size: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_oct", "sizes", "initial_image_scale")
+    jax.jit,
+    static_argnames=("cfg", "n_oct", "sizes", "initial_image_scale", "pre_blurred"),
 )
-def _phase1_program(stack, cfg, n_oct: int, sizes, initial_image_scale: float):
+def _phase1_program(stack, cfg, n_oct: int, sizes, initial_image_scale: float,
+                    pre_blurred: bool = False):
     """The ENTIRE dense phase as one compiled program: initial blur, every
     octave's blur chain + DoGs + extrema stencil, and the hierarchical
     candidate compaction of every octave's mask.
@@ -104,7 +106,11 @@ def _phase1_program(stack, cfg, n_oct: int, sizes, initial_image_scale: float):
     Returns a list of per-octave dicts; counts is [n_oct, B] so ONE small
     sync serves every bucket decision.
     """
-    base = pyramid.initial_blur_core(stack, cfg, initial_image_scale)
+    # pre_blurred: the stack is already at sigma_base (an octave base from
+    # the spatially-sharded front of the pipeline) — skip the initial blur
+    base = stack if pre_blurred else pyramid.initial_blur_core(
+        stack, cfg, initial_image_scale
+    )
     outs = []
     counts = []
     for octave in range(n_oct):
@@ -304,6 +310,7 @@ def extract_features_many(
     reoriented: bool = True,
     timer: Optional[StageTimer] = None,
     device=None,
+    pre_blurred: bool = False,
 ):
     """Extract features from several volumes with interleaved scheduling.
 
@@ -360,7 +367,7 @@ def extract_features_many(
             continue
         with timer.stage("phase1"):
             outs, counts = _phase1_program(
-                stack, cfg, n_oct, tuple(sizes), initial_image_scale
+                stack, cfg, n_oct, tuple(sizes), initial_image_scale, pre_blurred
             )
         for octave, o in enumerate(outs):
             octave_results.append((vol_ids, octave, o, sizes[octave]))

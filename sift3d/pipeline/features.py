@@ -188,8 +188,9 @@ def _top_peaks(hist: jnp.ndarray, k: int):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("sigmas",))
-def gather_stage_union(gstacks, dogs, vi, lvl, zyx, valid, sigmas: Tuple[float, ...]):
+@functools.partial(jax.jit, static_argnames=("sigmas", "gz_shift"))
+def gather_stage_union(gstacks, dogs, vi, lvl, zyx, valid, sigmas: Tuple[float, ...],
+                       z_bounds=None, gz_shift: int = 0):
     """Refine candidates and sample identity-orientation patches, over the
     union of a same-shape volume batch's candidates.
 
@@ -205,9 +206,15 @@ def gather_stage_union(gstacks, dogs, vi, lvl, zyx, valid, sigmas: Tuple[float, 
       zyx:     [C, 3] int32 voxel coords (z, y, x).
       valid:   [C] bool padding mask.
       sigmas:  static per-level blur sigmas (length 6).
+      z_bounds: optional (z_lo, z_hi) traced scalars replacing [0, zd) in
+        the iRadMax bounds test — used by the spatially-sharded pipeline,
+        whose slabs carry halo planes beyond the owned global rows.
+      gz_shift: static z offset added when sampling `gstacks` (the
+        sharded pipeline extends the Gaussian slab by a wider halo than
+        the DoG slab, so gstack-local z = dogs-local z + gz_shift).
 
-    Returns (xyz [C,3] float (x,y,z, +0.5 shifted), scale [C], keep [C],
-    patches [C, 11, 11, 11]).
+    Returns (xyz [C,3] float (x,y,z, +0.5 shifted) in dogs-local coords,
+    scale [C], keep [C], patches [C, 11, 11, 11]).
     """
     b, nl = dogs.shape[0], dogs.shape[1]
     zd, yd, xd = dogs.shape[2:]
@@ -244,8 +251,16 @@ def gather_stage_union(gstacks, dogs, vi, lvl, zyx, valid, sigmas: Tuple[float, 
 
     # bounds test (sampleImage3D, MultiScale.cpp:2630-2643)
     rad_max = jnp.floor(2.0 * scale + 2.0)
-    dims = jnp.asarray([xd, yd, zd], dtype=jnp.float32)
-    in_bounds = jnp.all((xyz - rad_max[:, None] >= 0) & (xyz + rad_max[:, None] < dims), axis=-1)
+    if z_bounds is None:
+        z_lo, z_hi = jnp.float32(0.0), jnp.float32(zd)
+    else:
+        z_lo, z_hi = (jnp.asarray(b, jnp.float32) for b in z_bounds)
+    lims_lo = jnp.stack([jnp.float32(0.0), jnp.float32(0.0), z_lo])
+    lims_hi = jnp.stack([jnp.float32(xd), jnp.float32(yd), z_hi])
+    in_bounds = jnp.all(
+        (xyz - rad_max[:, None] >= lims_lo) & (xyz + rad_max[:, None] < lims_hi),
+        axis=-1,
+    )
     keep = valid & in_bounds
 
     # identity-orientation patch from the Gaussian level matching the
@@ -255,9 +270,12 @@ def gather_stage_union(gstacks, dogs, vi, lvl, zyx, valid, sigmas: Tuple[float, 
     from sift3d.kernels.patch import sample_patches_identity
 
     ngl = gstacks.shape[1]
-    gstackf = gstacks.reshape(b * ngl, zd, yd, xd)
+    gstackf = gstacks.reshape((b * ngl,) + gstacks.shape[2:])
+    xyz_g = xyz
+    if gz_shift:
+        xyz_g = xyz + jnp.asarray([0.0, 0.0, float(gz_shift)], jnp.float32)
     patches = sample_patches_identity(
-        gstackf, vi * ngl + lvl, xyz, scale, count=valid.sum()
+        gstackf, vi * ngl + lvl, xyz_g, scale, count=valid.sum()
     )
 
     return xyz, scale, keep, patches
@@ -269,21 +287,24 @@ def gather_stage(gstack, dogs, lvl, zyx, valid, sigmas: Tuple[float, ...]):
     return gather_stage_union(gstack[None], dogs[None], vi, lvl, zyx, valid, sigmas)
 
 
-@functools.partial(jax.jit, static_argnames=("sigmas", "cfg"))
-def gather_eig_stage(gstacks, dogs, cand, sigmas: Tuple[float, ...], cfg: SiftConfig):
+@functools.partial(jax.jit, static_argnames=("sigmas", "cfg", "gz_shift"))
+def gather_eig_stage(gstacks, dogs, cand, sigmas: Tuple[float, ...], cfg: SiftConfig,
+                     z_bounds=None, gz_shift: int = 0):
     """Fused gather + eig front half, fed by ONE packed candidate upload.
 
     cand: [C, 6] int32 columns (vi, lvl, z, y, x, sign); valid = sign != 0.
     One host upload and one dispatch replace the former five uploads and
     three dispatches per (group, octave) — each host interaction costs a
-    tunnel round trip. Returns (xyz, scale, pn, eigs, eig_ori, keep_rows,
-    kept_count).
+    tunnel round trip. z_bounds/gz_shift: see gather_stage_union (the
+    spatially-sharded pipeline's slab coordinates). Returns (xyz, scale,
+    pn, eigs, eig_ori, keep_rows, kept_count).
     """
     vi, lvl = cand[:, 0], cand[:, 1]
     zyx = cand[:, 2:5]
     valid = cand[:, 5] != 0
     xyz, scale, keep, patches = gather_stage_union(
-        gstacks, dogs, vi, lvl, zyx, valid, sigmas
+        gstacks, dogs, vi, lvl, zyx, valid, sigmas, z_bounds=z_bounds,
+        gz_shift=gz_shift,
     )
     pn, eigs, eig_ori, eig_keep = eig_stage(patches, cfg)
     keep_rows = keep & eig_keep
@@ -480,10 +501,13 @@ def pack_unoriented_stage(kvalid, cand, xyz, scale, eigs, eig_ori, cfg: SiftConf
     return jnp.where(kvalid[:, None], packed, -1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "emit_cap", "scale_bucket"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "emit_cap", "scale_bucket", "gz_shift")
+)
 def emit_reoriented_stage(
     gstacks, cand, xyz, scale, kvalid, eigs, ori, ori_valid,
     cfg: SiftConfig, emit_cap: int, scale_bucket: str = "all",
+    gz_shift: int = 0,
 ):
     """Device-compacted reoriented rows + their freshly resampled patches.
 
@@ -533,8 +557,11 @@ def emit_reoriented_stage(
 
     b, ngl = gstacks.shape[0], gstacks.shape[1]
     gstackf = gstacks.reshape((b * ngl,) + gstacks.shape[2:])
+    row_xyz_g = row_xyz
+    if gz_shift:
+        row_xyz_g = row_xyz + jnp.asarray([0.0, 0.0, float(gz_shift)], jnp.float32)
     patches = sample_patches_rotated(
-        gstackf, row_vi * ngl + row_lvl, row_xyz, row_scale, row_ori, box=box,
+        gstackf, row_vi * ngl + row_lvl, row_xyz_g, row_scale, row_ori, box=box,
         count=count,
     )
     packed = _pack_rows(key, row_vi, row_xyz, row_scale, row_eigs, row_ori, row_info)

@@ -1,0 +1,86 @@
+"""End-to-end extraction on a spatially-sharded oversized volume.
+
+The premise the reference cannot offer: a volume larger than one device's
+memory, Z-sharded over the mesh, extracted end to end (dense pyramid via
+halo exchange, ragged feature stage on halo-extended local slabs) with
+output equal to the single-device pipeline (MultiScale.cpp:271-282 is the
+memory cap this removes).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sift3d.core.config import SiftConfig
+from sift3d.core.featureset import FeatureSet
+from sift3d.dist import mesh as dmesh
+from sift3d.dist import spatial as dspatial
+from sift3d.pipeline.extract import extract_features
+
+
+@pytest.fixture(scope="module")
+def mesh_space():
+    assert len(jax.devices()) == 8, "conftest must simulate 8 CPU devices"
+    return dmesh.make_mesh(batch=1, space=8)
+
+
+def _blob_volume(rng, shape):
+    import scipy.ndimage as ndi
+
+    v = rng.standard_normal(shape).astype(np.float32)
+    return ndi.gaussian_filter(v, 1.8).astype(np.float32) * 120
+
+
+def _assert_featuresets_close(got: FeatureSet, want: FeatureSet):
+    assert len(got) == len(want), "feature count"
+    np.testing.assert_allclose(got.xyz, want.xyz, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got.scale, want.scale, rtol=1e-4)
+    np.testing.assert_array_equal(got.info, want.info)
+    np.testing.assert_allclose(got.eigs, want.eigs, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(got.ori, want.ori, rtol=1e-3, atol=1e-3)
+    # rank-normalized descriptors are integer ranks: fp reduction-order
+    # differences may reorder a handful of near-tied values (a k-way tie
+    # shifts ranks by up to k-1) — bound both magnitude and frequency
+    diff = np.abs(got.desc - want.desc)
+    assert diff.max() <= 3.0, f"descriptor rank shift {diff.max()}"
+    assert (diff > 0).mean() < 0.02, f"{(diff > 0).mean():.2%} ranks perturbed"
+
+
+def test_spatial_extract_matches_single_device(rng, mesh_space):
+    """Two sharded octaves (Z=70 pads to 96: exercises Z padding, the
+    multi-hop halo at tz=12 < halo, AND the single-device tail octaves)."""
+    cfg = SiftConfig()
+    vol = _blob_volume(rng, (70, 44, 36))
+
+    want = extract_features(vol, cfg)
+    got = dspatial.extract_features_spatial(
+        vol, mesh_space, cfg, sharded_octaves=2
+    )
+
+    assert len(want) > 0, "fixture produced no features"
+    _assert_featuresets_close(got, want)
+
+
+def test_spatial_extract_all_octaves_sharded(rng, mesh_space):
+    """Every octave sharded (no single-device tail): sharded_octaves
+    beyond num_octaves clamps, and the divisible-Z path takes no padding."""
+    cfg = SiftConfig()
+    vol = _blob_volume(rng, (64, 24, 24))
+
+    want = extract_features(vol, cfg)
+    got = dspatial.extract_features_spatial(
+        vol, mesh_space, cfg, sharded_octaves=99
+    )
+
+    assert len(want) > 0, "fixture produced no features"
+    _assert_featuresets_close(got, want)
+
+
+def test_spatial_extract_auto_fallback(rng, mesh_space):
+    """Small volumes auto-pick zero sharded octaves -> standard pipeline."""
+    cfg = SiftConfig()
+    vol = _blob_volume(rng, (24, 24, 24))
+    want = extract_features(vol, cfg)
+    got = dspatial.extract_features_spatial(vol, mesh_space, cfg)
+    _assert_featuresets_close(got, want)
