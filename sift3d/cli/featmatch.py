@@ -10,6 +10,8 @@ Usage (mirrors featMatchMultiple/featMatchMultiple.cpp:398-486):
       -r / -r-  : use only reoriented features (default) / only unoriented
       -n <N>    : nearest neighbors for group voting (default 5)
       -f <file> : read key-file list from a text file
+      -g <W>    : geometry weight for group voting: augment descriptors
+                  with W * xyz / scale (default -1 = off)
       --all-to-all : run the soft-vote group matcher (matchAllToAll)
                      in addition to pairwise registration
 
@@ -67,6 +69,11 @@ def match_all_to_one(names, feature_sets, out_report="report.txt", cfg=DEFAULT_C
             if res.inlier[m]
         ]
         name = names[i]
+        with open(f"{name}.matches.info.txt", "wt") as f:
+            # per inlier match: info flags of both features
+            # (featMatchMultiple.cpp:301-302, 319)
+            for i1, i2 in matches:
+                f.write(f"{int(f1.info[i1])}\t{int(f2.info[i2])}\n")
         with open(f"{name}.matches.img1.txt", "wt") as f:
             f.write(f"# Img1: {names[0]}\n# Img2: {name}\n# Matches: {len(matches)}\n")
             f.write("# Format: Img1 x1 y1 z1 s1 MatchIndexImg2 DistSqr\n")
@@ -134,6 +141,13 @@ def main(argv=None) -> int:
             all_to_all = True
         elif a == "--refine":
             refine = True
+        elif a in ("-g", "-G"):
+            # geometry-augmented descriptors for group voting: xyz*weight
+            # appended to the 64-d descriptors (the reference builds the
+            # 67-d FLANN database at featMatchUtilities.cpp:1437-1442,
+            # 1530-1539 but never parses a flag for it — exposed here)
+            i += 1
+            geometry_weight = float(argv[i])
         else:
             print(f"Error: unknown command line argument: {a}")
             return -1

@@ -128,9 +128,21 @@ def read_text(
     return feats, comments
 
 
+_BIN_RECORD = np.dtype(
+    [
+        ("geom", "<f4", 4),  # x y z scale
+        ("ori", "<f4", 9),
+        ("eigs", "<f4", 3),
+        ("info", "<u4"),
+        ("desc", "u1", DESCRIPTOR_SIZE),
+    ]
+)
+
+
 def write_binary(feats: FeatureSet, path: str, eig_threshold: float = -1.0) -> int:
-    """Binary variant (MultiScale.h:228-303): text header then packed records
-    of 17 floats + uint32 + 64 uint8 descriptor bytes."""
+    """Binary variant (writer msFeature3DVectorOutputBin, MultiScale.h:228-303):
+    text header then packed records of 16 floats + uint32 + 64 uint8
+    descriptor bytes."""
     keep = feats.eig_mask(eig_threshold)
     idx = np.nonzero(keep)[0]
     with open(path, "wb") as f:
@@ -143,3 +155,28 @@ def write_binary(feats: FeatureSet, path: str, eig_threshold: float = -1.0) -> i
             f.write(struct.pack("<I", int(feats.info[i])))
             f.write(feats.desc[i].astype(np.uint8).tobytes())
     return len(idx)
+
+
+def read_binary(path: str, eig_threshold: float = -1.0) -> FeatureSet:
+    """Read a binary .key file written by write_binary (or the reference's
+    msFeature3DVectorOutputBin, MultiScale.h:228-303 — the reference ships
+    no binary reader of its own, so this completes the round trip)."""
+    with open(path, "rb") as f:
+        line = f.readline()
+        while line.startswith(b"#"):
+            line = f.readline()
+        if not line.startswith(b"Features:"):
+            raise ValueError(f"{path}: missing 'Features:' line")
+        n = int(line.split(b":", 1)[1])
+        recs = np.frombuffer(f.read(n * _BIN_RECORD.itemsize), dtype=_BIN_RECORD, count=n)
+    feats = FeatureSet(
+        xyz=recs["geom"][:, 0:3].astype(np.float32).copy(),
+        scale=recs["geom"][:, 3].astype(np.float32).copy(),
+        ori=recs["ori"].reshape(-1, 3, 3).astype(np.float32).copy(),
+        eigs=recs["eigs"].astype(np.float32).copy(),
+        info=recs["info"].astype(np.uint32).copy(),
+        desc=recs["desc"].astype(np.float32).copy(),
+    )
+    if eig_threshold >= 0:
+        feats = feats.apply_eig_threshold(eig_threshold)
+    return feats

@@ -65,8 +65,18 @@ def test_featmatch_cli_outputs(tmp_path, rng, monkeypatch):
     assert fm.main(["--all-to-all", k1, k2]) == 0
     for f in ["_command.txt", "_names.txt", "feature_count.txt", "report.txt",
               "matching_votes.txt", "vote_count.txt", f"{k2}.trans.txt",
-              f"{k2}.trans-inverse.txt", f"{k2}.update.key"]:
+              f"{k2}.trans-inverse.txt", f"{k2}.update.key",
+              f"{k2}.matches.img1.txt", f"{k2}.matches.img2.txt",
+              f"{k2}.matches.info.txt"]:
         assert os.path.exists(f), f"missing output {f}"
+    # .matches.info.txt: one "info1\tinfo2" line per inlier match
+    # (featMatchMultiple.cpp:301-302, 319)
+    with open(f"{k2}.matches.info.txt") as f:
+        info_lines = [ln.split("\t") for ln in f.read().splitlines()]
+    with open(f"{k2}.matches.img1.txt") as f:
+        n_matches = int(f.readlines()[2].split(":")[1])
+    assert len(info_lines) == n_matches > 0
+    assert all(len(p) == 2 and p[0].isdigit() and p[1].isdigit() for p in info_lines)
     # recovered transform: translation approx (-2, 0, 0)
     from sift3d.match.register import SimilarityTransform
 
@@ -98,3 +108,27 @@ def test_featextract_cli_brief_descriptors(tmp_path, rng):
     np.testing.assert_allclose(fb.xyz, fg.xyz, atol=1e-4)
     assert not np.allclose(fb.desc, fg.desc)
     assert not np.allclose(fr.desc, fb.desc)
+
+
+def test_featmatch_cli_geometry_weight(tmp_path, rng, monkeypatch):
+    """-g W augments group-vote descriptors with W * xyz / scale (the
+    67-d database of featMatchUtilities.cpp:1437-1442, 1530-1539 —
+    exposed as a real flag, which the reference never parses)."""
+    from sift3d.cli import featextract as fe
+    from sift3d.cli import featmatch as fm
+
+    v1 = _blob_volume(c=(20, 20, 20)) * 200 + _blob_volume(c=(12, 26, 14), s=2.5) * 150
+    v2 = np.roll(v1, 2, axis=2)
+    p1, p2 = str(tmp_path / "a.nii"), str(tmp_path / "b.nii")
+    nifti.write(p1, v1)
+    nifti.write(p2, v2)
+    k1, k2 = str(tmp_path / "a.key"), str(tmp_path / "b.key")
+    assert fe.main([p1, k1]) == 0
+    assert fe.main([p2, k2]) == 0
+
+    monkeypatch.chdir(tmp_path)
+    assert fm.main(["--all-to-all", "-g", "0.5", k1, k2]) == 0
+    votes = np.loadtxt("matching_votes.txt", skiprows=1, max_rows=2)
+    assert votes.shape == (2, 2)
+    # cross-image votes present: geometry augmentation must not zero them
+    assert votes[0, 1] > 0 and votes[1, 0] > 0

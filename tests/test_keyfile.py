@@ -92,3 +92,34 @@ def test_similarity_transform_scale_translate(rng):
     out = feats.similarity_transform(m)
     np.testing.assert_allclose(out.xyz, feats.xyz * 2 + np.array([1, 2, 3]), rtol=1e-5)
     np.testing.assert_allclose(out.scale, feats.scale * 2, rtol=1e-5)
+
+
+def test_roundtrip_binary(tmp_path, rng):
+    """Binary .key round trip (writer format msFeature3DVectorOutputBin,
+    MultiScale.h:228-303; the reference has no binary reader, ours
+    completes the pair)."""
+    feats = _make_feats(9, rng)
+    path = str(tmp_path / "test.bin.key")
+    n = keyfile.write_binary(feats, path, eig_threshold=-1)
+    assert n == 9
+    got = keyfile.read_binary(path)
+    assert len(got) == 9
+    # floats are written raw -> exact round trip
+    np.testing.assert_array_equal(got.xyz, feats.xyz)
+    np.testing.assert_array_equal(got.scale, feats.scale)
+    np.testing.assert_array_equal(got.ori, feats.ori)
+    np.testing.assert_array_equal(got.eigs, feats.eigs)
+    np.testing.assert_array_equal(got.info, feats.info)
+    np.testing.assert_array_equal(got.desc, feats.desc)
+
+
+def test_binary_eig_threshold(tmp_path, rng):
+    """Eig threshold applied at binary write time (MultiScale.h:247-255)."""
+    feats = _make_feats(8, rng)
+    feats.eigs[:4] = np.array([1.0, 1.0, 1e-4], np.float32)  # edge-like
+    path = str(tmp_path / "thr.bin.key")
+    n = keyfile.write_binary(feats, path, eig_threshold=140.0)
+    assert n == 4
+    got = keyfile.read_binary(path)
+    assert len(got) == 4
+    np.testing.assert_array_equal(got.xyz, feats.xyz[4:])

@@ -88,3 +88,29 @@ def test_subsample_2x_mxu_matches_reshape_mean(rng):
     a = np.asarray(resample.subsample_2x(vol, mxu=True))
     b = np.asarray(resample.subsample_2x(vol, mxu=False))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-4)
+
+
+def _sub_sample_2d_center_pixel_oracle(vol):
+    """Line-level numpy port of fioSubSample2DCenterPixel
+    (FeatureIO.cpp:1671-1714): out dims = in dims // 2, each output voxel
+    the mean of its 2x2x2 children (the reference indexes 2x/2x+1 with no
+    bounds check; for out = in//2 every read is in range)."""
+    zo, yo, xo = (d // 2 for d in vol.shape)
+    out = np.zeros((zo, yo, xo), np.float32)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                out += vol[dz : 2 * zo : 2, dy : 2 * yo : 2, dx : 2 * xo : 2]
+    return out / 8.0
+
+
+def test_subsample_2x_matches_center_pixel_oracle(rng):
+    """The -2- CLI path uses subsample_2x; prove it IS the reference's
+    fioSubSample2DCenterPixel for 3D volumes, including odd dims (trailing
+    odd voxels dropped by the floor-halved output dims in both)."""
+    for shape in ((8, 10, 12), (9, 11, 13), (7, 8, 9)):
+        vol = rng.standard_normal(shape).astype(np.float32)
+        want = _sub_sample_2d_center_pixel_oracle(vol)
+        got = np.asarray(resample.subsample_2x(jnp.asarray(vol)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
