@@ -39,28 +39,26 @@ def match_all_to_one(names, feature_sets, out_report="report.txt", cfg=DEFAULT_C
     """Pairwise registration of every image to image 0
     (featMatchMultiple.cpp:147-395).
 
-    Every pair shares image 0 as the database, so the kNN of all query
-    sets runs as ONE batched device sweep (per-pair searches cost a
-    relay round-trip each on the tunnel runtime)."""
-    from sift3d.match.pairwise import _SHUFFLE_DEPTH
+    Every pair shares image 0 as the database, so the squared-distance
+    matrices of all query sets compute as ONE stacked host BLAS matmul
+    (the exact sequential-shuffle ratio test needs full rows, not top-k;
+    see sift3d.match.pairwise)."""
+    from sift3d.match.pairwise import dist_sqr_matrix
 
     f1 = feature_sets[0]
-    knn_split = {}
+    dist_split = {}
     rest = [i for i in range(1, len(feature_sets)) if len(feature_sets[i])]
     if len(f1) >= 2 and rest:
-        from sift3d.match.knn import knn_search_tiled
-
         all_q = np.concatenate([feature_sets[i].desc for i in rest])
-        k = min(_SHUFFLE_DEPTH, len(f1))
-        dists, idx = knn_search_tiled(all_q, f1.desc, k)
+        dists = dist_sqr_matrix(all_q, f1.desc)
         off = 0
         for i in rest:
             n = len(feature_sets[i])
-            knn_split[i] = (dists[off : off + n], idx[off : off + n])
+            dist_split[i] = dists[off : off + n]
             off += n
     for i in range(1, len(feature_sets)):
         f2 = feature_sets[i]
-        res = match_keys(f1, f2, cfg, refine=refine, knn=knn_split.get(i))
+        res = match_keys(f1, f2, cfg, refine=refine, dists=dist_split.get(i))
         ts = res.transform
 
         matches = [

@@ -7,11 +7,23 @@ calls commented out (SURVEY.md section 2.3 quirk 2); we implement the
 *intended* behaviour — L2 over the 64 rank-ordered descriptor values
 (Feature3DInfo::DistSqrPCs, MultiScale.h:60-73).
 
-The sequential 1st/2nd shuffle collapses under sorted order: the first
-neighbor is the global minimum and the effective second neighbor is the
-nearest database feature NOT geometrically compatible with the first
-(compatible = a better instance of the same structure, so it must not
-suppress the ratio). We evaluate that over the top-k exact neighbors.
+The reference walks the database sequentially per query, maintaining a
+(1st, 2nd)-nearest state with geometric-compatibility shuffling. That
+state machine has an exact closed form (derivation in ratio_match):
+
+  min1 = global minimum (earliest index on ties);
+  min2 = min over the "displacement events" of the scan —
+    E0: the non-minimum of the first database pair (set unconditionally);
+    E1: at each strict prefix-minimum transition j, the OLD minimum's
+        distance, iff j is incompatible with that old minimum;
+    E2: every non-record j >= 2 contributes its own distance iff j is
+        incompatible with the prefix minimum current at j.
+
+The events are all computable from prefix-minimum indices (vectorized
+accumulates), so the whole shuffle runs as dense numpy over the full
+Q x D squared-distance matrix — BLAS on 64-d descriptors, no device
+round trips. ratio_match is asserted EQUAL to the line-level sequential
+oracle (_ratio_match_sequential_oracle) in tests/test_match.py.
 """
 
 from __future__ import annotations
@@ -23,9 +35,15 @@ import numpy as np
 
 from sift3d.core.config import DEFAULT_CONFIG, SiftConfig
 from sift3d.core.featureset import FeatureSet
-from sift3d.match.knn import knn_search_tiled
 
-_SHUFFLE_DEPTH = 16
+
+def dist_sqr_matrix(qdesc: np.ndarray, ddesc: np.ndarray) -> np.ndarray:
+    """[Q, D] squared descriptor distances (DistSqrPCs, MultiScale.h:60-73)
+    via the matmul identity; clamped at 0 against cancellation."""
+    q = np.asarray(qdesc, np.float32)
+    d = np.asarray(ddesc, np.float32)
+    out = (q * q).sum(1)[:, None] + (d * d).sum(1)[None, :] - 2.0 * (q @ d.T)
+    return np.maximum(out, 0.0)
 
 
 def compatible_features_arrays(
@@ -52,46 +70,107 @@ class RatioMatches:
     ratio: np.ndarray  # [M] d1/d2
 
 
+def _ratio_match_sequential_oracle(
+    queries: FeatureSet, db: FeatureSet, cfg: SiftConfig = DEFAULT_CONFIG
+) -> RatioMatches:
+    """Line-level python port of msComputeNearestNeighborDistanceRatioInfo
+    (featMatchUtilities.cpp:336-421) with the DistSqrPCs calls restored
+    (quirk 2). Test oracle for ratio_match — O(Q*D) python, small sets only.
+    """
+    d = dist_sqr_matrix(queries.desc, db.desc)
+
+    def compat(j, i):  # compatible_features(db[j], db[i]) default args
+        dist = float(np.linalg.norm(db.xyz[j] - db.xyz[i]))
+        sdiff = abs(float(np.log(db.scale[j] / db.scale[i])))
+        return (
+            sdiff < cfg.ratio_compat_log_scale
+            and dist < cfg.ratio_compat_shift * float(db.scale[j])
+        )
+
+    idx_out = np.zeros(len(queries), np.int64)
+    ratio_out = np.zeros(len(queries), np.float32)
+    for qi in range(len(queries)):
+        m1, i1 = float(d[qi, 0]), 0
+        m2, i2 = float(d[qi, 1]), 1
+        if m2 < m1:
+            m1, m2, i1, i2 = m2, m1, 1, 0
+        for j in range(2, len(db)):
+            dj = float(d[qi, j])
+            if dj < m2:
+                if dj < m1:
+                    if not compat(j, i1):
+                        m2, i2 = m1, i1
+                    m1, i1 = dj, j
+                else:
+                    if not compat(j, i1):
+                        m2, i2 = dj, j
+        idx_out[qi] = i1
+        ratio_out[qi] = m1 / m2 if m2 > 0 else 0.0
+    return RatioMatches(np.arange(len(queries), dtype=np.int64), idx_out, ratio_out)
+
+
 def ratio_match(
     queries: FeatureSet,
     db: FeatureSet,
     cfg: SiftConfig = DEFAULT_CONFIG,
-    knn: tuple | None = None,
+    dists: Optional[np.ndarray] = None,
 ) -> RatioMatches:
-    """For each query feature, nearest db feature + distance ratio.
+    """For each query feature, nearest db feature + squared-distance ratio,
+    with the reference's geometric-compatibility shuffle reproduced EXACTLY
+    (see module docstring for the closed form; the reference invariant
+    min1 <= min2 makes every sequential assignment to min2 a running min,
+    and the compatibility partner at step j is always the prefix minimum
+    at j — both computable with vectorized accumulates).
 
-    `knn` optionally supplies precomputed (dists, idx) over this db (at
-    least _SHUFFLE_DEPTH deep) so callers matching many query sets
-    against one database batch the kNN into a single device sweep."""
-    k = min(_SHUFFLE_DEPTH, len(db))
-    if len(db) < 2 or len(queries) == 0:
+    `dists` optionally supplies the precomputed [Q, D] squared-distance
+    matrix (callers matching many query sets against one database compute
+    it once, stacked)."""
+    nq, nd = len(queries), len(db)
+    if nd < 2 or nq == 0:
         return RatioMatches(np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.float32))
-    if knn is not None:
-        dists, idx = knn[0][:, :k], knn[1][:, :k]
-    else:
-        dists, idx = knn_search_tiled(queries.desc, db.desc, k)
+    d = dist_sqr_matrix(queries.desc, db.desc) if dists is None else dists
 
-    best_idx = idx[:, 0]
-    d1 = dists[:, 0]
+    rows = np.arange(nq)
+    m1_idx = d.argmin(axis=1)  # earliest index on ties, like the scan
+    d1 = d[rows, m1_idx]
 
-    # second neighbor: first (in ascending order) db candidate NOT
-    # geometrically compatible with the best one
-    b_xyz = db.xyz[best_idx]  # [Q, 3]
-    b_scale = db.scale[best_idx]
-    compat = compatible_features_arrays(
-        db.xyz[idx], db.scale[idx], None,
-        b_xyz[:, None, :], b_scale[:, None], None,
-        cfg.ratio_compat_log_scale, cfg.ratio_compat_shift,
-    )  # [Q, k]: candidate j compatible with best
-    cand = ~compat
-    cand[:, 0] = False  # the best itself never counts as second
-    first_incompat = np.where(cand.any(axis=1), cand.argmax(axis=1), k - 1)
-    d2 = dists[np.arange(dists.shape[0]), first_incompat]
+    # prefix-minimum records: is_rec[j] iff d[j] < min(d[:j]) (strict, so
+    # the init-pair tie keeping index 0 falls out naturally)
+    run_min = np.minimum.accumulate(d, axis=1)
+    is_rec = np.empty(d.shape, bool)
+    is_rec[:, 0] = True
+    is_rec[:, 1:] = d[:, 1:] < run_min[:, :-1]
+    # rec_pos[j] = index of the prefix minimum over d[:j+1]
+    cols = np.broadcast_to(np.arange(nd), d.shape)
+    rec_pos = np.maximum.accumulate(np.where(is_rec, cols, 0), axis=1)
 
-    ratio = d1 / np.where(d2 > 0, d2, np.inf)
+    # E0: the non-minimum of the first pair (assigned before any compat test)
+    d2 = np.where(d[:, 1] < d[:, 0], d[:, 0], d[:, 1]).astype(d.dtype)
+
+    if nd > 2:
+        # events at j >= 2: partner = prefix minimum BEFORE j; value = the
+        # displaced old minimum (record j) or j's own distance (non-record)
+        partner = rec_pos[:, 1:-1]  # [Q, nd-2]
+        j_cols = np.arange(2, nd)
+        val = np.where(is_rec[:, 2:], d[rows[:, None], partner], d[:, 2:])
+        # incompatible(db[j], db[partner]) activates the event; process in
+        # query chunks to bound the [q, nd-2, 3] gather transients
+        step = max(1, (1 << 22) // max(nd, 1))
+        for q0 in range(0, nq, step):
+            sl = slice(q0, min(q0 + step, nq))
+            p = partner[sl]
+            cmp_ = compatible_features_arrays(
+                db.xyz[None, j_cols, :], db.scale[None, j_cols], None,
+                db.xyz[p], db.scale[p], None,
+                cfg.ratio_compat_log_scale, cfg.ratio_compat_shift,
+            )
+            ev = np.where(cmp_, np.inf, val[sl])
+            d2[sl] = np.minimum(d2[sl], ev.min(axis=1))
+
+    ratio = np.where(d2 > 0, d1 / np.where(d2 > 0, d2, 1.0), 0.0)
     return RatioMatches(
-        query_idx=np.arange(len(queries), dtype=np.int64),
-        db_idx=best_idx.astype(np.int64),
+        query_idx=np.arange(nq, dtype=np.int64),
+        db_idx=m1_idx.astype(np.int64),
         ratio=ratio.astype(np.float32),
     )
 
@@ -113,16 +192,18 @@ def match_keys(
     feats2: FeatureSet,
     cfg: SiftConfig = DEFAULT_CONFIG,
     refine: bool = False,
-    knn: tuple | None = None,
+    dists: Optional[np.ndarray] = None,
 ) -> MatchResult:
     """MatchKeys (featMatchUtilities.cpp:1027-1260): ratio-sorted matches
     capped at max_matches, then Hough similarity voting. feats2 is the
     'model' (queries), feats1 the 'input' (database), and the returned
-    transform maps feats2 coordinates into feats1 space."""
+    transform maps feats2 coordinates into feats1 space. `dists` optionally
+    supplies the precomputed [len(feats2), len(feats1)] squared-distance
+    matrix (star-mode callers compute one stacked matrix for all pairs)."""
     from sift3d.match.hough import hough_similarity
     from sift3d.match.register import SimilarityTransform
 
-    rm = ratio_match(feats2, feats1, cfg, knn=knn)
+    rm = ratio_match(feats2, feats1, cfg, dists=dists)
     order = np.argsort(rm.ratio, kind="stable")
     order = order[: cfg.max_matches]
     model_idx = rm.query_idx[order]

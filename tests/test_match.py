@@ -149,3 +149,42 @@ def test_group_vote_vectorized_matches_loop_oracle(rng):
         np.testing.assert_allclose(fast.votes, slow.votes, rtol=1e-10)
         np.testing.assert_array_equal(fast.counts, slow.counts)
         np.testing.assert_allclose(fast.log_likelihood, slow.log_likelihood, rtol=1e-8)
+
+
+def test_ratio_match_equals_sequential_oracle(rng):
+    """The vectorized closed-form shuffle must EQUAL the line-level port of
+    msComputeNearestNeighborDistanceRatioInfo (featMatchUtilities.cpp:
+    336-421, DistSqrPCs restored). The fixture plants clusters of
+    geometrically-compatible near-duplicates so every branch of the
+    sequential state machine (compatible-replace, incompatible-shuffle,
+    second-slot displacement, init-pair retention) fires."""
+    cfg = SiftConfig()
+    db = _random_feats(80, rng)
+    # clusters: features 3k+1, 3k+2 are compatible near-copies of 3k
+    # (same structure, slightly shifted) with near-identical descriptors
+    for k in range(0, 60, 3):
+        for o in (1, 2):
+            db.xyz[k + o] = db.xyz[k] + rng.normal(0, 0.3, 3)
+            db.scale[k + o] = db.scale[k] * np.exp(rng.normal(0, 0.05))
+            db.desc[k + o] = db.desc[k] + rng.normal(0, 0.5, 64)
+    q = _random_feats(50, rng)
+    q.desc[:40] = db.desc[rng.integers(0, 80, 40)] + rng.normal(0, 1.0, (40, 64)).astype(np.float32)
+
+    want = pairwise._ratio_match_sequential_oracle(q, db, cfg)
+    got = pairwise.ratio_match(q, db, cfg)
+    np.testing.assert_array_equal(got.db_idx, want.db_idx)
+    np.testing.assert_allclose(got.ratio, want.ratio, rtol=1e-6, atol=1e-7)
+
+
+def test_ratio_match_oracle_two_element_db(rng):
+    """D == 2: the sequential loop never runs; min2 is the init pair's
+    non-minimum regardless of compatibility."""
+    cfg = SiftConfig()
+    db = _random_feats(2, rng)
+    db.xyz[1] = db.xyz[0] + 0.1  # compatible pair
+    db.scale[1] = db.scale[0]
+    q = _random_feats(5, rng)
+    want = pairwise._ratio_match_sequential_oracle(q, db, cfg)
+    got = pairwise.ratio_match(q, db, cfg)
+    np.testing.assert_array_equal(got.db_idx, want.db_idx)
+    np.testing.assert_allclose(got.ratio, want.ratio, rtol=1e-6)
