@@ -82,6 +82,9 @@ def main():
     ap.add_argument(
         "--flags", default="", help="featExtract flags passed to BOTH sides (e.g. '-2-' or '-w')"
     )
+    ap.add_argument(
+        "--json", default=None, help="also write the parity metrics to this JSON file"
+    )
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="sift3d_parity_")
@@ -124,12 +127,38 @@ def main():
 
     # descriptor agreement on matched unoriented pairs
     m = nearest >= 0
+    desc_l2 = desc_l2_rand = None
     if m.any():
         dd = np.linalg.norm(ru.desc[m] - ou.desc[nearest[m]], axis=1)
         rand = np.linalg.norm(
             ru.desc[m] - ou.desc[np.random.default_rng(0).permutation(nearest[m])], axis=1
         )
+        desc_l2, desc_l2_rand = float(dd.mean()), float(rand.mean())
         print(f"descriptor L2 matched pairs: mean {dd.mean():.1f} (random pairing {rand.mean():.1f})")
+    if args.json:
+        import json
+
+        import jax
+
+        with open(args.json, "wt") as f:
+            json.dump(
+                {
+                    "dims": args.dims,
+                    "flags": flags,
+                    "backend": jax.default_backend(),
+                    "ref_feats": len(ref_feats),
+                    "our_feats": len(ours),
+                    "ref_unoriented": len(ru),
+                    "our_unoriented": len(ou),
+                    "repeatability_ref_to_ours": round(fwd, 4),
+                    "repeatability_ours_to_ref": round(rev, 4),
+                    "feature_count_ratio": round(len(ours) / max(len(ref_feats), 1), 4),
+                    "desc_l2_matched": desc_l2,
+                    "desc_l2_random": desc_l2_rand,
+                },
+                f,
+                indent=1,
+            )
     if args.keep:
         print("artifacts in", tmp)
     else:

@@ -387,8 +387,13 @@ def _extract_octave_spatial(oct_res: ShardedOctave, mesh: Mesh, cfg: SiftConfig,
 
     reor = counts[:, 0] - counts[:, 2]
     packed_re = desc_re = None
+    s_tot = cfg.max_primary_orientations * cfg.max_secondary_orientations
     if reoriented and int(reor.max()) > 0:
-        cap_r = _bucket(int(reor.max()), 16 * cfg.union_chunk)
+        # hard bound: min(K1*K2, max_orientations) rows per candidate, so
+        # the exact-count bucket can never truncate
+        cap_r = _bucket(
+            int(reor.max()), cap * max(1, min(s_tot, cfg.max_orientations))
+        )
         cnt_re, packed_re, desc_re = jax.device_get(
             _feature_phase_b(
                 oct_res.gstack, cand_sh, a, mesh, cfg, cap_r, tz, true_z, halo,
@@ -398,7 +403,6 @@ def _extract_octave_spatial(oct_res: ShardedOctave, mesh: Mesh, cfg: SiftConfig,
         assert int(np.asarray(cnt_re).max()) <= cap_r
 
     # host merge: per-shard local order keys -> global reference order
-    s_tot = cfg.max_primary_orientations * cfg.max_secondary_orientations
     bufs, dscs, keys = [], [], []
     for s in range(n):
         parts = [(packed_un[s], desc_un[s])]

@@ -534,12 +534,18 @@ def extract_features_many(
     layout_c = []
     blocks: dict = {}
     p_off = 0
+    # hard upper bound on reoriented rows per chunk: every candidate can
+    # emit at most min(K1*K2, max_orientations) copies — using it as the
+    # bucket cap makes silent truncation structurally impossible (a fixed
+    # 16*chunk cap would truncate if max_orientations were raised past 16)
+    s_tot = cfg.max_primary_orientations * cfg.max_secondary_orientations
+    cap_limit = chunk * max(1, min(s_tot, cfg.max_orientations))
     for j, i in enumerate(surv):
         cap = chunk_meta[i][1]
         n_small = int(counts[i, 1])
         n_large = int(counts[i, 0]) - int(counts[i, 2]) - n_small
         caps = tuple(
-            _bucket(n, 16 * chunk) if (reoriented and n > 0) else 0
+            _bucket(n, cap_limit) if (reoriented and n > 0) else 0
             for n in (n_small, n_large)
         )
         layout_c.append((chunk_meta[i][0], int(a_offs[i]), cap) + caps)
