@@ -13,6 +13,10 @@ SURVEY.md section 2.3 quirk 1 — here they work):
       -2+  : double input image size       -2- : halve input image size
       -b   : BRIEF descriptor   -br : RRIEF   -bn : NRRIEF
       -d<N>: accepted for compatibility (device selection is implicit on TPU)
+      --spatial[=N] : Z-shard the whole pipeline over N devices (default
+             all) for volumes larger than one chip's memory
+      --spatial-octaves=K : shard the first K octaves (default: octaves
+             whose working set exceeds one chip); implies --spatial
       --time : print per-stage timing summary
 """
 
@@ -50,6 +54,8 @@ def main(argv=None) -> int:
     descriptor = "goh"
     show_time = False
     debug_pgm = False
+    spatial_devices = None  # None = off; 0 = all devices; N = first N
+    spatial_octaves = None  # None = auto (by octave working-set size)
     i = 0
     while i < len(argv) and argv[i].startswith("-"):
         a = argv[i]
@@ -71,6 +77,17 @@ def main(argv=None) -> int:
             show_time = True
         elif a == "--debug-pgm":
             debug_pgm = True
+        elif a.startswith("--spatial"):
+            # Z-shard the volume over N devices (all by default) and run
+            # the whole pipeline sharded — for volumes larger than one
+            # chip's memory (sift3d.dist.spatial; the reference caps at
+            # single-GPU memory, MultiScale.cpp:271-282)
+            if a.startswith("--spatial-octaves"):
+                spatial_octaves = int(a.split("=", 1)[1])
+                if spatial_devices is None:
+                    spatial_devices = 0
+            else:
+                spatial_devices = int(a.split("=", 1)[1]) if "=" in a else 0
         else:
             print(f"Error: unknown command line argument: {a}")
             print_options()
@@ -118,10 +135,25 @@ def main(argv=None) -> int:
         write_volume_slice("image.pgm", np.asarray(data))
 
     timer = StageTimer(enabled=True)
-    feats = extract_features(
-        data, DEFAULT_CONFIG, initial_image_scale=initial_scale, descriptor=descriptor,
-        timer=timer,
-    )
+    if spatial_devices is not None:
+        import jax
+
+        from sift3d.dist.mesh import make_mesh
+        from sift3d.dist.spatial import extract_features_spatial
+
+        n_dev = len(jax.devices())
+        n = n_dev if spatial_devices == 0 else min(spatial_devices, n_dev)
+        mesh = make_mesh(batch=1, space=n, devices=jax.devices()[:n])
+        feats = extract_features_spatial(
+            np.asarray(data), mesh, DEFAULT_CONFIG,
+            initial_image_scale=initial_scale, descriptor=descriptor,
+            sharded_octaves=spatial_octaves,
+        )
+    else:
+        feats = extract_features(
+            data, DEFAULT_CONFIG, initial_image_scale=initial_scale,
+            descriptor=descriptor, timer=timer,
+        )
 
     # size factor for -2 options (featExtract.cpp:422-427, 502-505)
     size_factor = 1.0

@@ -132,3 +132,30 @@ def test_featmatch_cli_geometry_weight(tmp_path, rng, monkeypatch):
     assert votes.shape == (2, 2)
     # cross-image votes present: geometry augmentation must not zero them
     assert votes[0, 1] > 0 and votes[1, 0] > 0
+
+
+def test_featextract_cli_spatial(tmp_path, rng):
+    """--spatial: the whole pipeline Z-sharded over the (simulated) mesh
+    from the CLI, equal output to the standard path."""
+    from sift3d.cli import featextract as fe
+
+    import scipy.ndimage as ndi
+
+    vol = _blob_volume() * 200 + ndi.gaussian_filter(
+        rng.normal(0, 1, (40, 40, 40)), 1.5
+    ).astype(np.float32) * 60
+    vp = str(tmp_path / "s.nii")
+    nifti.write(vp, vol)
+    k_std, k_sp = str(tmp_path / "std.key"), str(tmp_path / "sp.key")
+    assert fe.main([vp, k_std]) == 0
+    # force real sharding of the first octave (the auto heuristic would
+    # keep a 40^3 volume single-device)
+    assert fe.main(["--spatial-octaves=1", vp, k_sp]) == 0
+    a, _ = keyfile.read_text(k_std)
+    b, _ = keyfile.read_text(k_sp)
+    assert len(a) == len(b)
+    # sub-voxel agreement: sharded vs single-device refine differ only in
+    # fp reduction order (near-flat quadratic vertices amplify last-ulp
+    # DoG differences into ~1e-3 voxel)
+    np.testing.assert_allclose(b.xyz, a.xyz, rtol=1e-4, atol=5e-3)
+    np.testing.assert_array_equal(b.info, a.info)
