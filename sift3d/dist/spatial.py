@@ -318,12 +318,12 @@ def _extract_octave_spatial(oct_res: ShardedOctave, mesh: Mesh, cfg: SiftConfig,
                             sigmas, true_z: int, halo: int, descriptor: str,
                             reoriented: bool, axis_name: str) -> FeatureSet:
     """Features of one Z-sharded octave, in octave-local coordinates."""
-    from sift3d.pipeline.extract import _GROUP, _bucket, _decode_candidates_np
+    from sift3d.pipeline.extract import _bucket, _decode_candidates_np
 
     n = mesh.shape[axis_name]
     _, zp, yd, xd = oct_res.mask.shape
     tz = zp // n
-    size = min(8 * cfg.max_candidates_per_level, -(-3 * tz * yd * xd // _GROUP))
+    size = min(8 * cfg.max_candidates_per_level, 3 * tz * yd)  # X-row groups
 
     gidx, blocks, gc, _ = _compact_sharded(oct_res.mask, mesh, size, axis_name)
     gidx_h, blocks_h, gc_h = jax.device_get([gidx, blocks, gc])
@@ -358,7 +358,7 @@ def _extract_octave_spatial(oct_res: ShardedOctave, mesh: Mesh, cfg: SiftConfig,
     shard = zg // tz
 
     per_shard = [np.nonzero(shard == s)[0] for s in range(n)]
-    cap = _bucket(max((len(i) for i in per_shard), default=1), size * _GROUP)
+    cap = _bucket(max((len(i) for i in per_shard), default=1), size * xd)
     cand_np = np.zeros((n, cap, 6), np.int32)
     cand_np[:, :, 1:5] = 1  # padding rows: in-range coords, sign == 0
     grank = np.full((n, cap), -1, np.int64)

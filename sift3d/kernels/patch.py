@@ -393,15 +393,16 @@ def sample_patches_identity(gstack, lvl, centers, scales, count=None):
     tail, so valid rows always form a prefix)."""
     import os
 
-    # opt-in: validated bit-exact vs the boxed sampler on real Mosaic
-    # (max diff 5e-7 at HIGHEST matmul precision), but measured at
-    # throughput parity end-to-end (12.88 vs 12.95 vol/s at batch 12) —
-    # the boxed identity gather is not on the critical path, so the
-    # simpler XLA path stays the default
+    # default on TPU: validated bit-exact vs the boxed sampler on real
+    # Mosaic (max diff 5e-7 at HIGHEST matmul precision) and measured
+    # 2.4x faster in isolation (16 vs 38 ms per 4096-row chunk on v5e) —
+    # it became the phase-2a critical path once the row-compaction
+    # rewrite removed the mask-nonzero bottleneck. SIFT3D_NO_SLAB_IDENTITY
+    # reverts to the boxed XLA path.
     if (
         jax.default_backend() == "tpu"
         and _id_slab_ok(gstack)
-        and os.environ.get("SIFT3D_SLAB_IDENTITY")
+        and not os.environ.get("SIFT3D_NO_SLAB_IDENTITY")
     ):
         return sample_patches_identity_slab(
             gstack, lvl, centers, scales, count=count

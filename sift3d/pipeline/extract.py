@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from sift3d.core.config import DEFAULT_CONFIG, SiftConfig
 from sift3d.core.featureset import FeatureSet
 from sift3d.pipeline import features as fstage
+from sift3d.pipeline.features import scatter_compact as _scatter_compact
 from sift3d.pipeline import pyramid
 from sift3d.utils.timing import StageTimer
 
@@ -51,31 +52,30 @@ def _bucket(n: int, cap: int) -> int:
     return min(b, cap)
 
 
-_GROUP = 64
-
-
 def _compact_mask_one(mask: jnp.ndarray, size: int):
-    """Device-side extrema compaction: nonzero GROUPS + their mask bytes.
+    """Device-side extrema compaction: nonzero X-ROWS + their mask bytes.
 
     A flat nonzero over the whole mask costs ~200 ms at T1 scale (the
-    cumsum-based lowering touches every element many times). Masks are
-    extremely sparse, so compact hierarchically: an any() reduction over
-    64-element groups (one cheap pass), nonzero over the 64x smaller group
-    flags, then a row gather of the hit groups' mask bytes. The host
-    decodes element indices from (group index, offset).
+    cumsum-based lowering touches every element many times), and any
+    64-element regrouping of the flattened mask forces an int8 relayout
+    that costs ~60 ms alone. Masks are extremely sparse, so compact in
+    the mask's NATIVE layout: group = one X-row, the any() reduction runs
+    along the minor dimension (free), scatter-compact the [3*Z*Y] row
+    flags, then gather the hit rows' bytes (contiguous minor-dim rows —
+    the gather TPUs like). The host decodes element indices from
+    (row index, offset). Whole compaction: <10 ms at batch-12 T1 scale
+    vs ~110 ms for the former 64-group reshape formulation.
 
-    Returns (group_idx [size], group_blocks [size, 64] int8, group_count,
+    Returns (row_idx [size], row_blocks [size, X] int8, row_count,
     candidate_count).
     """
-    flat = mask.ravel()
-    n = flat.shape[0]
-    npad = -(-n // _GROUP) * _GROUP
-    flat = jnp.pad(flat, (0, npad - n))
-    rows = flat.reshape(-1, _GROUP)
-    hit = (rows != 0).any(axis=1)
+    xd = mask.shape[-1]
+    rows = mask.reshape(-1, xd)
+    nz = rows != 0
+    hit = nz.any(axis=1)
     group_count = hit.sum()
-    cand_count = (flat != 0).sum()
-    gidx = jnp.nonzero(hit, size=size, fill_value=-1)[0]
+    cand_count = nz.sum()
+    gidx = _scatter_compact(hit, size)
     blocks = rows[jnp.clip(gidx, 0)]
     blocks = jnp.where((gidx >= 0)[:, None], blocks, 0)
     return gidx, blocks, group_count, cand_count
@@ -131,17 +131,20 @@ def _phase15_program(gidxs, blockss, caps):
     [cap] int32 flat indices + [cap] int8 signs instead of the full group
     blocks (~6x fewer D2H bytes through the ~50 MB/s tunnel).
 
-    gidxs/blockss: per-octave [B, size] / [B, size, 64] from phase 1.
+    gidxs/blockss: per-octave [B, size] / [B, size, X] from phase 1.
     caps: static per-octave candidate capacities (bucketed from the synced
     exact counts, so overflow is impossible).
     """
     outs = []
     for gidx, blocks, cap in zip(gidxs, blockss, caps):
-        def one(gi, bl):
+        xd = blocks.shape[-1]
+
+        def one(gi, bl, xd=xd):
             flat = bl.reshape(-1)
-            nz = jnp.nonzero(flat, size=cap, fill_value=-1)[0]
-            sign = flat[jnp.clip(nz, 0)].astype(jnp.int8)
-            idx = gi[jnp.clip(nz, 0) // _GROUP] * _GROUP + nz % _GROUP
+            nz = _scatter_compact(flat != 0, cap)
+            nzc = jnp.clip(nz, 0)
+            sign = flat[nzc].astype(jnp.int8)
+            idx = gi[nzc // xd] * xd + nzc % xd
             idx = jnp.where(nz >= 0, idx, -1)
             sign = jnp.where(nz >= 0, sign, 0)
             return idx.astype(jnp.int32), sign
@@ -253,17 +256,21 @@ def _phase2c_program(gstacks, sel, layout, cfg, descriptor: str, reoriented: boo
 
 
 def _decode_candidates_np(mask_shape, gidx, blocks, group_count: int, size: int, fetch_mask):
-    """Decode downloaded group-compacted entries to (lvl0, z, y, x, sign)."""
+    """Decode downloaded row-compacted entries to (lvl0, z, y, x, sign).
+
+    gidx/blocks follow _compact_mask_one: gidx indexes X-rows of the
+    flattened [nl*zd*yd, xd] mask; blocks are the rows' bytes.
+    """
     nl, zd, yd, xd = mask_shape
     if group_count > size:
         # overflow (extremely textured volume): full fallback transfer
         mask = np.asarray(fetch_mask())
         lvls0, zs, ys, xs = np.nonzero(mask)
         return lvls0, zs, ys, xs, mask[lvls0, zs, ys, xs].astype(np.int32)
-    gi = np.asarray(gidx[:group_count])
+    gi = np.asarray(gidx[:group_count]).astype(np.int64)
     bl = np.asarray(blocks[:group_count])
     rows_nz, offs_nz = np.nonzero(bl)
-    idx = gi[rows_nz] * _GROUP + offs_nz
+    idx = gi[rows_nz] * xd + offs_nz
     sign = bl[rows_nz, offs_nz].astype(np.int32)
     lvls0, rem = np.divmod(idx, zd * yd * xd)
     zs, rem = np.divmod(rem, yd * xd)
@@ -274,7 +281,7 @@ def _decode_candidates_np(mask_shape, gidx, blocks, group_count: int, size: int,
 def _extract_candidates(res_mask, cap: int):
     """Returns (lvl0, zs, ys, xs, signs) numpy arrays from the device mask."""
     nl, zd, yd, xd = res_mask.shape
-    size = min(cap, -(-(nl * zd * yd * xd) // _GROUP))
+    size = min(cap, nl * zd * yd)
     gidx, blocks, gc, _ = _compact_mask(res_mask[None], size)
     return _decode_candidates_np(
         res_mask.shape, np.asarray(gidx[0]), np.asarray(blocks[0]), int(gc[0]), size,
@@ -330,6 +337,14 @@ def extract_features_many(
     sigmas = tuple(cfg.level_sigmas())
     n_vol = len(imgs)
 
+    # profiling aid: block after every phase dispatch so the stage timer
+    # reports true device cost per phase instead of async dispatch latency
+    import os
+
+    _sync = jax.block_until_ready if os.environ.get("SIFT3D_SYNC_PHASES") else (
+        lambda x: x
+    )
+
     # volumes of the same shape advance together as ONE stacked batch:
     # per-dispatch host latency through the tunnel (~30 ms RTT) dominates
     # octave compute, so every phase below runs one program per
@@ -359,16 +374,17 @@ def extract_features_many(
         n_oct = pyramid.num_octaves(shape, cfg)
         sizes = []
         dz, dy, dx = shape
+        xds = []
         for octave in range(n_oct):
-            per_vol_elems = 3 * dz * dy * dx
-            sizes.append(min(cand_cap, -(-per_vol_elems // _GROUP)))
+            sizes.append(min(cand_cap, 3 * dz * dy))  # X-row groups
+            xds.append(dx)
             dz, dy, dx = dz // 2, dy // 2, dx // 2
         if n_oct == 0:
             continue
         with timer.stage("phase1"):
-            outs, counts = _phase1_program(
+            outs, counts = _sync(_phase1_program(
                 stack, cfg, n_oct, tuple(sizes), initial_image_scale, pre_blurred
-            )
+            ))
         for octave, o in enumerate(outs):
             octave_results.append((vol_ids, octave, o, sizes[octave]))
         gcount_list.append(counts)
@@ -396,11 +412,12 @@ def extract_features_many(
             # slice the group tables to the group-count bucket first: the
             # second-level nonzero is linear in the bytes it scans
             gbs.append(_bucket(int(cnts[pos : pos + nb, 0].max()), size))
+            xd = o["blocks"].shape[-1]
             caps.append(
-                _bucket(int(cnts[pos : pos + nb, 1].max()), size * _GROUP)
+                _bucket(int(cnts[pos : pos + nb, 1].max()), size * xd)
             )
             pos += nb
-        exact = _phase15_program(
+        exact = _sync(_phase15_program(
             tuple(
                 o["gidx"][:, :gb]
                 for gb, (_, _, o, _) in zip(gbs, octave_results)
@@ -410,7 +427,7 @@ def extract_features_many(
                 for gb, (_, _, o, _) in zip(gbs, octave_results)
             ),
             tuple(caps),
-        )
+        ))
     with timer.stage("candidate_download"):
         host = jax.device_get([x for pair in exact for x in pair])
         idx_np = host[0::2]
@@ -495,7 +512,7 @@ def extract_features_many(
             else jnp.asarray(cand_host)
         )
     with timer.stage("phase2a"):
-        r2a = _phase2a_program(stacks, cand_all, layout_a, sigmas, cfg)
+        r2a = _sync(_phase2a_program(stacks, cand_all, layout_a, sigmas, cfg))
     # the DoG stacks, extrema masks and compaction buffers are dead once
     # phase 2a is dispatched (2b/2c touch only the Gaussian stacks): drop
     # the references so ~45% of the batch's HBM footprint frees early —
@@ -516,10 +533,10 @@ def extract_features_many(
         (int(a_offs[i]), cap) for i, (_, cap) in enumerate(chunk_meta)
     )
     with timer.stage("phase2b"):
-        sel, counts_d = _phase2b_program(
+        sel, counts_d = _sync(_phase2b_program(
             r2a["keep_rows"], cand_all, r2a["pn"], r2a["eigs"], r2a["eig_ori"],
             r2a["xyz"], r2a["scale"], layout_b, cfg, reoriented,
-        )
+        ))
 
     # phase 2c: ONE sync for all per-chunk [total, small, kept] row
     # counts, then the split emission: unoriented rows reuse the
@@ -556,9 +573,9 @@ def extract_features_many(
                 blocks[j].append((p_off, cap_b))
                 p_off += cap_b
     with timer.stage("phase2c"):
-        packed_all, desc_all = _phase2c_program(
+        packed_all, desc_all = _sync(_phase2c_program(
             gstacks, sel, tuple(layout_c), cfg, descriptor, reoriented
-        )
+        ))
     with timer.stage("download"):
         host_p, host_d = jax.device_get([packed_all, desc_all])
 
