@@ -129,18 +129,19 @@ def _axis_factors(u: jnp.ndarray, blur_taps: jnp.ndarray) -> jnp.ndarray:
     return a @ jnp.asarray(b)
 
 
-def _smooth_histogram(coords_xyz: jnp.ndarray, weights: jnp.ndarray, blur_sigma: float) -> jnp.ndarray:
+def _smooth_histogram_axes(cx, cy, cz, weights: jnp.ndarray, blur_sigma: float) -> jnp.ndarray:
     """Blurred 11^3 orientation histogram as separable MXU contractions.
 
-    Bit-equivalent (up to fp reduction order) to
-    blur3d(_splat_histogram(...), blur_sigma) with zero borders.
+    cx/cy/cz: [C, V] continuous per-axis coordinates. Bit-equivalent (up
+    to fp reduction order) to blur3d(_splat_histogram(...), blur_sigma)
+    with zero borders.
     """
     from sift3d.kernels.gauss import gaussian_kernel_1d
 
     taps = gaussian_kernel_1d(blur_sigma, 0.01)
-    ax = _axis_factors(coords_xyz[..., 0], taps)  # [C, V, 11]
-    ay = _axis_factors(coords_xyz[..., 1], taps)
-    az = _axis_factors(coords_xyz[..., 2], taps)
+    ax = _axis_factors(cx, taps)  # [C, V, 11]
+    ay = _axis_factors(cy, taps)
+    az = _axis_factors(cz, taps)
     wz = weights[..., None] * az  # [C, V, 11]
     # contract with a combined [V, 121] in-plane factor in V-chunks: the
     # per-z-slice formulation is a batch=C matmul with M=N=11 (<1% MXU
@@ -159,14 +160,25 @@ def _smooth_histogram(coords_xyz: jnp.ndarray, weights: jnp.ndarray, blur_sigma:
     return hist.reshape(c, PATCH_DIM, PATCH_DIM, PATCH_DIM)
 
 
+def _smooth_histogram(coords_xyz: jnp.ndarray, weights: jnp.ndarray, blur_sigma: float) -> jnp.ndarray:
+    """_smooth_histogram_axes over stacked [C, V, 3] (x, y, z) coords."""
+    return _smooth_histogram_axes(
+        coords_xyz[..., 0], coords_xyz[..., 1], coords_xyz[..., 2], weights, blur_sigma
+    )
+
+
 def _interp_hist_peaks(hist: jnp.ndarray, pz, py, px) -> jnp.ndarray:
     """Per-axis quadratic subvoxel interpolation of histogram peaks.
 
-    hist: [C, 11, 11, 11]; pz/py/px: [C] int peak coords (interior).
-    Returns [C, 3] continuous (x, y, z). Port of
+    hist: [C, 11, 11, 11]; pz/py/px: [C] or [C, K] int peak coords
+    (interior) — a whole top-k slate interpolates in ONE set of 7
+    gathers (per-slot python loops cost ~25 ms of element gathers at
+    pipeline scale). Returns [C(, K), 3] continuous (x, y, z). Port of
     interpolate_discrete_3D_point (MultiScale.cpp:1614-1639).
     """
     cidx = jnp.arange(hist.shape[0])
+    if pz.ndim == 2:
+        cidx = cidx[:, None]
 
     def axis_interp(vm, v0, vp, coord):
         return quadratic_interp_1d(
@@ -389,52 +401,69 @@ def canonical_stage(pn, cfg: SiftConfig):
 
     # gradients of the normalized patch, restricted to the static in-sphere
     # voxel subset (the only ones the reference splats; ~2.6x fewer scatter
-    # points than the full 11^3 grid)
+    # points than the full 11^3 grid). Everything per-voxel stays in
+    # [C, 3, V] layout — V on the minor (lane) dimension. The transposed
+    # [C, V, 3] layout puts 3 elements on 128 lanes, and the perpendicular
+    # projections alone then cost ~26 ms at C=4096 (measured on v5e).
     from sift3d.kernels.patch import patch_gradients
 
     grads = patch_gradients(pn)  # [C, 3(dx,dy,dz), z, y, x]
     sphere_idx = np.nonzero(sphere_mask().ravel())[0]
-    gflat = grads.reshape(c, 3, -1)[:, :, sphere_idx].transpose(0, 2, 1)  # [C, Vs, 3]
-    mag = jnp.sqrt((gflat * gflat).sum(-1))  # [C, Vs]
+    g3 = grads.reshape(c, 3, -1)[:, :, sphere_idx]  # [C, 3, Vs]
+    mag = jnp.sqrt((g3 * g3).sum(axis=1))  # [C, Vs]
     wgt = jnp.where(mag > 0, mag, 0.0)
-    e = gflat / jnp.where(mag > 0, mag, 1.0)[..., None]  # unit edges
+    mag_safe = jnp.where(mag > 0, mag, 1.0)[:, None, :]
+    e3 = g3 / mag_safe  # unit edges [C, 3, Vs]
 
     rad = float(PATCH_RAD)
     # primary histogram: splat at e*rad + rad (+0.5) (MultiScale.cpp:2805-2816)
-    coords1 = e * rad + rad + 0.5
-    hist1 = _smooth_histogram(coords1, wgt, cfg.ori_hist_blur_sigma)
+    hist1 = _smooth_histogram_axes(
+        e3[:, 0] * rad + rad + 0.5,
+        e3[:, 1] * rad + rad + 0.5,
+        e3[:, 2] * rad + rad + 0.5,
+        wgt, cfg.ori_hist_blur_sigma,
+    )
     v1, pz1, py1, px1, pk1 = _top_peaks(hist1, k1)
     # threshold: >= 0.8 * strongest (strict < breaks, MultiScale.cpp:2889)
     valid1 = pk1 & (v1 >= cfg.ori_peak_threshold * v1[:, :1]) & (v1 > 0)
-    # subvoxel interp, center-shift, normalize -> P1 per slot
-    p1_list = []
-    for s1 in range(k1):
-        itp = _interp_hist_peaks(hist1, pz1[:, s1], py1[:, s1], px1[:, s1])
-        p1_list.append(_norm_or_x(itp - rad))
-    p1 = jnp.stack(p1_list, axis=1)  # [C, K1, 3]
+    # subvoxel interp, center-shift, normalize -> P1, all slots at once
+    p1 = _norm_or_x(_interp_hist_peaks(hist1, pz1, py1, px1) - rad)  # [C, K1, 3]
 
     # secondary histograms per primary slot
-    ori = jnp.zeros((c, k1, k2, 3, 3), dtype=jnp.float32)
-    ori_valid = jnp.zeros((c, k1, k2), dtype=bool)
+    oris = []
+    oris_valid = []
     for s1 in range(k1):
         p1s = p1[:, s1]  # [C, 3]
-        par = (e * p1s[:, None, :]).sum(-1, keepdims=True)
-        perp = _norm_or_x(e - par * p1s[:, None, :])
-        coords2 = perp * rad + rad + 0.5
-        hist2 = _smooth_histogram(coords2, wgt, cfg.ori_hist_blur_sigma)
+        p1v = p1s[:, :, None]  # [C, 3, 1] broadcast form
+        par = (e3 * p1v).sum(axis=1, keepdims=True)  # [C, 1, Vs]
+        perp = e3 - par * p1v  # [C, 3, Vs]
+        pss = (perp * perp).sum(axis=1, keepdims=True)
+        perp = jnp.where(
+            pss > 0,
+            perp / jnp.sqrt(jnp.where(pss > 0, pss, 1.0)),
+            jnp.zeros_like(perp).at[:, 0].set(1.0),
+        )  # _norm_or_x in [C, 3, V] layout
+        hist2 = _smooth_histogram_axes(
+            perp[:, 0] * rad + rad + 0.5,
+            perp[:, 1] * rad + rad + 0.5,
+            perp[:, 2] * rad + rad + 0.5,
+            wgt, cfg.ori_hist_blur_sigma,
+        )
         v2, pz2, py2, px2, pk2 = _top_peaks(hist2, k2)
         valid2 = pk2 & (v2 >= cfg.ori_2nd_peak_threshold * v2[:, :1]) & (v2 > 0)
-        for s2 in range(k2):
-            itp = _interp_hist_peaks(hist2, pz2[:, s2], py2[:, s2], px2[:, s2])
-            p2 = _norm_or_x(itp - rad)
-            # orthogonalize against P1 and renormalize (MultiScale.cpp:3006-3015)
-            p2 = _norm_or_x(p2 - (p2 * p1s).sum(-1, keepdims=True) * p1s)
-            p3 = jnp.cross(p1s, p2)
-            mat = jnp.stack([p1s, p2, p3], axis=1)  # rows = P1, P2, P3
-            ori = ori.at[:, s1, s2].set(mat)
-            ori_valid = ori_valid.at[:, s1, s2].set(valid1[:, s1] & valid2[:, s2])
+        # all K2 slots at once: interp, orthogonalize against P1,
+        # renormalize (MultiScale.cpp:3006-3015), third axis = cross
+        p2 = _norm_or_x(_interp_hist_peaks(hist2, pz2, py2, px2) - rad)  # [C, K2, 3]
+        p1b = p1s[:, None, :]
+        p2 = _norm_or_x(p2 - (p2 * p1b).sum(-1, keepdims=True) * p1b)
+        p3 = jnp.cross(jnp.broadcast_to(p1b, p2.shape), p2)
+        mat = jnp.stack([jnp.broadcast_to(p1b, p2.shape), p2, p3], axis=2)
+        oris.append(mat)  # [C, K2, 3, 3], rows = P1, P2, P3
+        oris_valid.append(valid1[:, s1 : s1 + 1] & valid2)
 
-    return dict(ori=ori, ori_valid=ori_valid)
+    return dict(
+        ori=jnp.stack(oris, axis=1), ori_valid=jnp.stack(oris_valid, axis=1)
+    )
 
 
 def orient_stage(patches, cfg: SiftConfig):
