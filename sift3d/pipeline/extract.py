@@ -33,6 +33,11 @@ from sift3d.pipeline import pyramid
 from sift3d.utils.timing import StageTimer
 
 
+# test hook: route candidate-table building through the legacy host
+# decode path (the overflow fallback) to assert both paths agree
+_FORCE_LEGACY_CANDIDATES = False
+
+
 def _pad_to(arr: np.ndarray, n: int, fill=0):
     if arr.shape[0] == n:
         return arr
@@ -50,6 +55,15 @@ def _bucket(n: int, cap: int) -> int:
     while b < n and b < cap:
         b *= 2
     return min(b, cap)
+
+
+def _bucket_fine(n: int) -> int:
+    """Shape bucket with ~1/16 granularity (waste <= ~6%, 16 shapes per
+    octave of n). Used for the final download buffer, whose bytes are
+    wall-clock through the ~30 MB/s tunnel — pow-2 bucketing there could
+    waste almost 2x the transfer."""
+    g = max(256, 1 << max(0, n.bit_length() - 5))
+    return max(256, (n + g - 1) // g * g)
 
 
 def _compact_mask_one(mask: jnp.ndarray, size: int):
@@ -153,6 +167,75 @@ def _phase15_program(gidxs, blockss, caps):
     return outs
 
 
+@functools.partial(jax.jit, static_argnames=("caps", "out_caps", "dims"))
+def _phase15_tables_program(gidxs, blockss, ccounts, caps, out_caps, dims):
+    """Device-built candidate tables, replacing the host decode round trip.
+
+    Produces the concatenated [sum(out_caps), 6] int32 candidate table
+    (vi, dog level, z, y, x, sign) directly on device, in the exact order
+    the host decode used to build it: volume-major, then (dog level,
+    valleys-before-peaks, scan order) within each volume — the order that
+    reproduces the reference's per-octave emission
+    (generateFeatures3D_efficient loops, MultiScale.cpp:425-467). The
+    former path downloaded [cap] flat indices + signs, ran ~25 ms of
+    numpy divmod/sort/concat per octave, and re-uploaded the table; each
+    leg pays the tunnel's ~33 ms RTT floor (~240 ms per batch-12 total).
+
+    gidxs/blockss: per-octave [B, size]/[B, size, X] phase-1 compaction
+    outputs (sliced to the group-count bucket). ccounts: per-octave [B]
+    DEVICE exact candidate counts (phase 1's counts array — no upload).
+    caps: static per-octave extraction capacities (bucketed from the
+    synced counts, so >= every volume's count — overflow impossible).
+    out_caps: static table sizes = sum of the octave's chunk capacities.
+    dims: static (nl, zd, yd, xd) extrema-mask dims per octave.
+
+    Padding rows are (0, 1, 0, 0, 0, 0) — sign 0 marks them invalid, and
+    level 1 keeps them inside gather range (same as the host packer).
+    """
+    outs = []
+    for gidx, blocks, cc, cap, out_cap, (nl, zd, yd, xd) in zip(
+        gidxs, blockss, ccounts, caps, out_caps, dims
+    ):
+        def one(gi, bl, cap=cap, nl=nl, zd=zd, yd=yd, xd=xd):
+            flat = bl.reshape(-1)
+            nz = _scatter_compact(flat != 0, cap)
+            nzc = jnp.clip(nz, 0)
+            sign = jnp.where(nz >= 0, flat[nzc], 0).astype(jnp.int32)
+            idx = gi[nzc // xd] * xd + nzc % xd
+            lvl0 = idx // (zd * yd * xd)
+            # source rows are flat-index (level, z, y, x) ascending, so a
+            # stable sort on (level, peak?) alone reproduces the reference
+            # emission order; padding sorts past every valid key
+            key = jnp.where(nz >= 0, lvl0 * 2 + (sign > 0), 2 * nl)
+            order = jnp.argsort(key, stable=True)
+            idx, sign = idx[order], sign[order]
+            rem = idx % (zd * yd * xd)
+            return jnp.stack(
+                [
+                    jnp.zeros_like(sign),  # vi, filled below
+                    idx // (zd * yd * xd) + 1,
+                    rem // (yd * xd),
+                    (rem // xd) % yd,
+                    rem % xd,
+                    sign,
+                ],
+                axis=1,
+            ).astype(jnp.int32)
+
+        rows = jax.vmap(one)(gidx, blocks)  # [B, cap, 6]
+        nb = rows.shape[0]
+        rows = rows.at[:, :, 0].set(jnp.arange(nb, dtype=jnp.int32)[:, None])
+        cc = cc.astype(jnp.int32)
+        offs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cc)])[:-1]
+        ar = jnp.arange(cap, dtype=jnp.int32)
+        # the sort puts each volume's cc valid rows first: compact them at
+        # the volume's exclusive-cumsum offset, drop everything else
+        dest = jnp.where(ar[None, :] < cc[:, None], offs[:, None] + ar[None, :], out_cap)
+        out = jnp.zeros((out_cap, 6), jnp.int32).at[:, 1].set(1)
+        outs.append(out.at[dest.reshape(-1)].set(rows.reshape(-1, 6), mode="drop"))
+    return jnp.concatenate(outs)
+
+
 @functools.partial(jax.jit, static_argnames=("layout", "sigmas", "cfg"))
 def _phase2a_program(stacks, cand_all, layout, sigmas, cfg):
     """Gather + eig for EVERY candidate chunk of every (group, octave) as
@@ -221,17 +304,28 @@ def _phase2b_program(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("layout", "cfg", "descriptor", "reoriented")
+    jax.jit, static_argnames=("layout", "cfg", "descriptor", "reoriented", "out_cap")
 )
-def _phase2c_program(gstacks, sel, layout, cfg, descriptor: str, reoriented: bool):
+def _phase2c_program(
+    gstacks, sel, layout, cfg, descriptor: str, reoriented: bool, out_cap: int
+):
     """Row packing + descriptors for all chunks in one program: unoriented
     rows reuse the gather-stage patches; reoriented rows resample rotated
     patches, bucketed by scale so small-scale rows use the 48^3 sampler
     box. layout: static (res_index, cap_offset, cap, cap_small, cap_large)
     per surviving chunk; cap_offset/cap address the chunk's cap-length
-    (uncompacted) block in the concatenated phase-2b arrays. Takes only the Gaussian stacks (the DoG stacks are dead
-    after phase 2a and freeing them is what lets a second in-flight batch
-    fit in HBM). Returns the two concatenated download buffers."""
+    (uncompacted) block in the concatenated phase-2b arrays. Takes only
+    the Gaussian stacks (the DoG stacks are dead after phase 2a and
+    freeing them is what lets a second in-flight batch fit in HBM).
+
+    Returns ONE compacted [out_cap, 35] f32 download buffer: the 19
+    packed-row columns + the 64-byte uint8 descriptor bitcast to 16 f32
+    columns. Valid rows (order key >= 0) are compacted to the front in
+    block order — exact per-block row counts are host-known from the
+    phase-2b counts sync, so the host slices blocks by exact offsets.
+    One exact-size transfer replaces two padded ones (each D2H leg pays
+    a ~33 ms RTT floor + ~30 MB/s through the tunnel, and per-block
+    capacity padding was ~1.4x the real rows)."""
     packed, descs = [], []
     for res_i, koff, kb, cap_s, cap_l in layout:
         sl = slice(koff, koff + kb)
@@ -252,7 +346,21 @@ def _phase2c_program(gstacks, sel, layout, cfg, descriptor: str, reoriented: boo
             )
             packed.append(packed_b)
             descs.append(fstage.descriptor_stage(patches_b, descriptor).astype(jnp.uint8))
-    return jnp.concatenate(packed), jnp.concatenate(descs)
+    packed = jnp.concatenate(packed)
+    descs = jnp.concatenate(descs)
+    # one int32 buffer carries everything: geometry bitcast f32->int32 and
+    # descriptor bytes packed 4-per-lane (int lanes, unlike f32, can never
+    # hit NaN/subnormal canonicalization on select/copy)
+    p32 = jax.lax.bitcast_convert_type(packed, jnp.int32)
+    d32 = jax.lax.bitcast_convert_type(
+        descs.reshape(descs.shape[0], 16, 4), jnp.int32
+    )
+    rows = jnp.concatenate([p32, d32], axis=1)  # [P, 35]
+    keep = _scatter_compact(packed[:, 17] >= 0, out_cap)
+    out = rows[jnp.clip(keep, 0)]
+    # bucket-padding tail: order key < 0 so the host's key filter drops it
+    pad = jax.lax.bitcast_convert_type(jnp.float32(-1.0), jnp.int32)
+    return jnp.where((keep >= 0)[:, None], out, pad)
 
 
 def _decode_candidates_np(mask_shape, gidx, blocks, group_count: int, size: int, fetch_mask):
@@ -368,6 +476,7 @@ def extract_features_many(
     # compaction (see _phase1_program)
     octave_results = []  # entries: (vol_ids, octave, res-dict, size)
     gcount_list = []
+    cc_dev = []  # per octave_result: [B] DEVICE exact candidate counts
     cand_cap = 8 * cfg.max_candidates_per_level
     for shape, vol_ids in groups.items():
         stack = jnp.stack([arrs[i] for i in vol_ids])
@@ -387,130 +496,162 @@ def extract_features_many(
             ))
         for octave, o in enumerate(outs):
             octave_results.append((vol_ids, octave, o, sizes[octave]))
+            cc_dev.append(counts[octave, :, 1])
         gcount_list.append(counts)
 
     if not octave_results:
         return [FeatureSet.empty(0) for _ in range(n_vol)]
 
     # phase 1.5: one host round trip for every (group, octave, volume)
-    # (group count, exact candidate count), then a device-side exact
-    # extraction program whose [cap] int32 indices + int8 signs are ~6x
-    # fewer D2H bytes than the group-block tables (the tunnel moves
-    # ~50 MB/s, so candidate-table bytes are wall-clock)
+    # (group count, exact candidate count), then the candidate table is
+    # built ON DEVICE (_phase15_tables_program) — the only host work is
+    # choosing the static chunk layout from the synced counts
     with timer.stage("candidate_counts"):
         cnts = np.concatenate(
             [np.asarray(c).reshape(-1, 2) for c in jax.device_get(gcount_list)]
         ).astype(np.int64)  # rows follow octave_results x volume order
-    with timer.stage("candidate_extract"):
-        pos = 0
-        offs_c = []
-        caps = []
-        gbs = []
-        for (vol_ids, _, o, size) in octave_results:
-            nb = len(vol_ids)
-            offs_c.append(pos)
-            # slice the group tables to the group-count bucket first: the
-            # second-level nonzero is linear in the bytes it scans
-            gbs.append(_bucket(int(cnts[pos : pos + nb, 0].max()), size))
-            xd = o["blocks"].shape[-1]
-            caps.append(
-                _bucket(int(cnts[pos : pos + nb, 1].max()), size * xd)
-            )
-            pos += nb
-        exact = _sync(_phase15_program(
-            tuple(
-                o["gidx"][:, :gb]
-                for gb, (_, _, o, _) in zip(gbs, octave_results)
-            ),
-            tuple(
-                o["blocks"][:, :gb]
-                for gb, (_, _, o, _) in zip(gbs, octave_results)
-            ),
-            tuple(caps),
-        ))
-    with timer.stage("candidate_download"):
-        host = jax.device_get([x for pair in exact for x in pair])
-        idx_np = host[0::2]
-        sign_np = host[1::2]
-
-    # phase 2: decode candidates on the host into per-chunk packed tables.
-    # Candidates are ordered (volume, level, sign, z, y, x) so the
-    # per-volume reference emission order survives the union split. ALL
-    # chunks then ship in ONE upload and run in ONE program (phase 2a).
-    chunk = cfg.union_chunk
-    cand_parts = []  # packed [cap, 6] host tables, dispatch order
-    chunk_meta = []  # (octave_result index, cap)
-    for oi, (vol_ids, octave, res, size) in enumerate(octave_results):
-        with timer.stage(f"octave{octave}/candidates"):
-            nl, zd, yd, xd = res["mask"].shape[1:]
-            parts = []
-            for b in range(len(vol_ids)):
-                pos = offs_c[oi]
-                n_grp, n_cand_b = int(cnts[pos + b, 0]), int(cnts[pos + b, 1])
-                if n_grp > size:
-                    # group-table overflow (extremely textured volume):
-                    # full mask fallback transfer
-                    mask = np.asarray(res["mask"][b])
-                    lvls0, zs, ys, xs = np.nonzero(mask)
-                    signs = mask[lvls0, zs, ys, xs].astype(np.int32)
-                else:
-                    idx = idx_np[oi][b][:n_cand_b].astype(np.int64)
-                    signs = sign_np[oi][b][:n_cand_b].astype(np.int32)
-                    lvls0, rem = np.divmod(idx, zd * yd * xd)
-                    zs, rem = np.divmod(rem, yd * xd)
-                    ys, xs = np.divmod(rem, xd)
-                if lvls0.size == 0:
-                    continue
-                dog_lvl = (lvls0 + 1).astype(np.int32)
-                # reference emission order: per level, valleys then peaks,
-                # scan order (generateFeatures3D_efficient loops). The
-                # decode already yields (lvl, z, y, x) ascending (group
-                # compaction preserves flat-index order), so a stable
-                # single-key sort on (lvl, sign) replaces the 5-key
-                # lexsort (~25 ms/octave at bench candidate counts)
-                order = np.argsort(dog_lvl * 2 + (signs > 0), kind="stable")
-                parts.append(
-                    (
-                        np.full(order.shape, b, np.int32),
-                        dog_lvl[order],
-                        zs[order].astype(np.int32),
-                        ys[order].astype(np.int32),
-                        xs[order].astype(np.int32),
-                        signs[order],
-                    )
-                )
-            if not parts:
-                continue
-            cols = [np.concatenate([p[k] for p in parts]) for k in range(6)]
-
-        n_cand = cols[1].shape[0]
-        for start in range(0, n_cand, chunk):
-            end = min(start + chunk, n_cand)
-            # pad to the smallest shape bucket: padded capacity is wasted
-            # compute, and most octaves carry far fewer candidates than
-            # the chunk cap. Padding rows have sign == 0 (invalid).
-            cap = _bucket(end - start, chunk)
-            cand = _pad_to(
-                np.stack([c[start:end] for c in cols], axis=1).astype(np.int32),
-                cap,
-                fill=0,
-            )
-            cand[end - start :, 1] = 1  # padding level inside gather range
-            cand_parts.append(cand)
-            chunk_meta.append((oi, cap))
+    pos = 0
+    offs_c = []
+    caps = []
+    gbs = []
+    overflow = False
+    for (vol_ids, _, o, size) in octave_results:
+        nb = len(vol_ids)
+        offs_c.append(pos)
+        n_grp_max = int(cnts[pos : pos + nb, 0].max())
+        overflow = overflow or n_grp_max > size
+        # slice the group tables to the group-count bucket first: the
+        # second-level nonzero is linear in the bytes it scans
+        gbs.append(_bucket(n_grp_max, size))
+        xd = o["blocks"].shape[-1]
+        caps.append(_bucket(int(cnts[pos : pos + nb, 1].max()), size * xd))
+        pos += nb
 
     empty_result = [FeatureSet.empty(0) for _ in range(n_vol)]
-    if not cand_parts:
-        return empty_result
+    chunk = cfg.union_chunk
+    chunk_meta = []  # (octave_result index, cap)
+    if not (overflow or _FORCE_LEGACY_CANDIDATES):
+        # exact per-volume counts are synced, so the chunk layout is
+        # computable without touching the candidates themselves; the
+        # table build then never leaves the device
+        sel_ois, out_caps = [], []
+        for oi, (vol_ids, _, _, _) in enumerate(octave_results):
+            nb = len(vol_ids)
+            n_cand = int(cnts[offs_c[oi] : offs_c[oi] + nb, 1].sum())
+            if n_cand == 0:
+                continue
+            tot = 0
+            for start in range(0, n_cand, chunk):
+                cap = _bucket(min(start + chunk, n_cand) - start, chunk)
+                chunk_meta.append((oi, cap))
+                tot += cap
+            sel_ois.append(oi)
+            out_caps.append(tot)
+        if not chunk_meta:
+            return empty_result
+        with timer.stage("candidate_tables"):
+            cand_all = _sync(_phase15_tables_program(
+                tuple(octave_results[oi][2]["gidx"][:, : gbs[oi]] for oi in sel_ois),
+                tuple(octave_results[oi][2]["blocks"][:, : gbs[oi]] for oi in sel_ois),
+                tuple(cc_dev[oi] for oi in sel_ois),
+                tuple(caps[oi] for oi in sel_ois),
+                tuple(out_caps),
+                tuple(
+                    tuple(octave_results[oi][2]["mask"].shape[1:]) for oi in sel_ois
+                ),
+            ))
+    else:
+        # group-table overflow somewhere (extremely textured volume):
+        # legacy host path — download exact candidates (or the full mask
+        # for the overflowing volumes), decode/sort/pack on host, upload
+        with timer.stage("candidate_extract"):
+            exact = _sync(_phase15_program(
+                tuple(
+                    o["gidx"][:, :gb]
+                    for gb, (_, _, o, _) in zip(gbs, octave_results)
+                ),
+                tuple(
+                    o["blocks"][:, :gb]
+                    for gb, (_, _, o, _) in zip(gbs, octave_results)
+                ),
+                tuple(caps),
+            ))
+        with timer.stage("candidate_download"):
+            host = jax.device_get([x for pair in exact for x in pair])
+            idx_np = host[0::2]
+            sign_np = host[1::2]
+
+        # decode candidates on the host into per-chunk packed tables.
+        # Candidates are ordered (volume, level, sign, z, y, x) so the
+        # per-volume reference emission order survives the union split.
+        # ALL chunks then ship in ONE upload.
+        cand_parts = []  # packed [cap, 6] host tables, dispatch order
+        for oi, (vol_ids, octave, res, size) in enumerate(octave_results):
+            with timer.stage(f"octave{octave}/candidates"):
+                nl, zd, yd, xd = res["mask"].shape[1:]
+                parts = []
+                for b in range(len(vol_ids)):
+                    pos = offs_c[oi]
+                    n_grp, n_cand_b = int(cnts[pos + b, 0]), int(cnts[pos + b, 1])
+                    if n_grp > size:
+                        # full mask fallback transfer
+                        mask = np.asarray(res["mask"][b])
+                        lvls0, zs, ys, xs = np.nonzero(mask)
+                        signs = mask[lvls0, zs, ys, xs].astype(np.int32)
+                    else:
+                        idx = idx_np[oi][b][:n_cand_b].astype(np.int64)
+                        signs = sign_np[oi][b][:n_cand_b].astype(np.int32)
+                        lvls0, rem = np.divmod(idx, zd * yd * xd)
+                        zs, rem = np.divmod(rem, yd * xd)
+                        ys, xs = np.divmod(rem, xd)
+                    if lvls0.size == 0:
+                        continue
+                    dog_lvl = (lvls0 + 1).astype(np.int32)
+                    # reference emission order: per level, valleys then
+                    # peaks, scan order (generateFeatures3D_efficient
+                    # loops); a stable single-key sort on (lvl, sign)
+                    # over the already-ascending rows reproduces it
+                    order = np.argsort(dog_lvl * 2 + (signs > 0), kind="stable")
+                    parts.append(
+                        (
+                            np.full(order.shape, b, np.int32),
+                            dog_lvl[order],
+                            zs[order].astype(np.int32),
+                            ys[order].astype(np.int32),
+                            xs[order].astype(np.int32),
+                            signs[order],
+                        )
+                    )
+                if not parts:
+                    continue
+                cols = [np.concatenate([p[k] for p in parts]) for k in range(6)]
+
+            n_cand = cols[1].shape[0]
+            for start in range(0, n_cand, chunk):
+                end = min(start + chunk, n_cand)
+                # pad to the smallest shape bucket: padded capacity is
+                # wasted compute. Padding rows have sign == 0 (invalid).
+                cap = _bucket(end - start, chunk)
+                cand = _pad_to(
+                    np.stack([c[start:end] for c in cols], axis=1).astype(np.int32),
+                    cap,
+                    fill=0,
+                )
+                cand[end - start :, 1] = 1  # padding level inside gather range
+                cand_parts.append(cand)
+                chunk_meta.append((oi, cap))
+
+        if not cand_parts:
+            return empty_result
+        with timer.stage("cand_upload"):
+            cand_host = np.concatenate(cand_parts, axis=0)
+            cand_all = (
+                jax.device_put(cand_host, device) if device is not None
+                else jnp.asarray(cand_host)
+            )
 
     stacks = tuple((res["gstack"], res["dogs"]) for (_, _, res, _) in octave_results)
     layout_a = tuple(chunk_meta)
-    with timer.stage("cand_upload"):
-        cand_host = np.concatenate(cand_parts, axis=0)
-        cand_all = (
-            jax.device_put(cand_host, device) if device is not None
-            else jnp.asarray(cand_host)
-        )
     with timer.stage("phase2a"):
         r2a = _sync(_phase2a_program(stacks, cand_all, layout_a, sigmas, cfg))
     # the DoG stacks, extrema masks and compaction buffers are dead once
@@ -559,25 +700,32 @@ def extract_features_many(
     cap_limit = chunk * max(1, min(s_tot, cfg.max_orientations))
     for j, i in enumerate(surv):
         cap = chunk_meta[i][1]
+        n_kept = int(counts[i, 2])
         n_small = int(counts[i, 1])
-        n_large = int(counts[i, 0]) - int(counts[i, 2]) - n_small
+        n_large = int(counts[i, 0]) - n_kept - n_small
         caps = tuple(
             _bucket(n, cap_limit) if (reoriented and n > 0) else 0
             for n in (n_small, n_large)
         )
         layout_c.append((chunk_meta[i][0], int(a_offs[i]), cap) + caps)
-        blocks[j] = [(p_off, cap)]
-        p_off += cap
-        for cap_b in caps:
+        # block offsets into the COMPACTED download buffer: the program
+        # packs each block's valid rows contiguously in block order, so
+        # exact counts (known from the phase-2b sync) give exact slices
+        blocks[j] = [(p_off, n_kept)]
+        p_off += n_kept
+        for n_b, cap_b in zip((n_small, n_large), caps):
             if cap_b > 0:
-                blocks[j].append((p_off, cap_b))
-                p_off += cap_b
+                blocks[j].append((p_off, n_b))
+                p_off += n_b
+    out_cap = _bucket_fine(p_off)
     with timer.stage("phase2c"):
-        packed_all, desc_all = _sync(_phase2c_program(
-            gstacks, sel, tuple(layout_c), cfg, descriptor, reoriented
+        rows_all = _sync(_phase2c_program(
+            gstacks, sel, tuple(layout_c), cfg, descriptor, reoriented, out_cap
         ))
     with timer.stage("download"):
-        host_p, host_d = jax.device_get([packed_all, desc_all])
+        host_rows = np.asarray(rows_all)  # [out_cap, 35] int32 (bit carrier)
+        host_p = np.ascontiguousarray(host_rows[:, :19]).view(np.float32)
+        host_d = np.ascontiguousarray(host_rows[:, 19:35]).view(np.uint8).reshape(-1, 64)
 
     pending = [
         dict(vol_ids=octave_results[chunk_meta[i][0]][0], octave=octave_results[chunk_meta[i][0]][1])
