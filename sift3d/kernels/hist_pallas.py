@@ -1,0 +1,252 @@
+"""Pallas orientation-histogram kernel: trilinear splat as VMEM matmuls.
+
+The canonical-orientation stage builds blurred 11^3 spherical histograms
+from ~700 weighted gradient directions per candidate
+(determineCanonicalOrientation3D, MultiScale.cpp:2722-3037). The XLA
+formulation (features._smooth_histogram_axes) factorizes splat+blur into
+per-axis [C, V, 11] matrices and contracts them on the MXU — correct,
+but the [C, V, 121] in-plane outer product is an HBM transient: ~2.8 GB
+of traffic per call at C=4096, ~6.5 ms, and the histogram is called
+(1 + K1) times per phase-2b chunk (~45 ms of the ~180 ms phase).
+
+This kernel keeps the outer product in VMEM. Per candidate c:
+
+  P[p, v]  = wz(v, p//11) * wy(v, p%11) * w[v]     (p = z*11 + y, 128 lanes)
+  AX[v, x] = wx(v, x)                              (x on 16 lanes)
+  raw[c]   = P @ AX                                (native-layout MXU matmul)
+
+where wz/wy/wx are the 2-sparse trilinear splat factors (0.5-center,
+border-saturating — exactly resample._interp_coord). The Gaussian blur
+is applied OUTSIDE on the tiny [C, 1331] result as three banded [11, 11]
+matmuls: blur3d(splat(...)) == splat factored per axis, so this is
+algebraically identical to the XLA path (fp reduction order differs).
+
+HBM traffic: 4 [C, V] inputs + the [C, 1331] output — ~35 MB/call
+instead of ~2.8 GB.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PATCH_DIM = 11
+_P_LANES = 128  # >= 11 * 11 = 121 (z*11 + y)
+_X_LANES = 16  # >= 11
+
+
+def blur_band_matrix(blur_taps) -> np.ndarray:
+    """[11, 11] zero-padded 1D Gaussian blur as a banded matrix.
+
+    Column o holds the taps that output bin o reads (zero beyond the
+    histogram edges), matching gb3d_blur3d's zero-border FIR on the
+    orientation histogram (MultiScale.cpp:2850)."""
+    r = len(blur_taps) // 2
+    b = np.zeros((PATCH_DIM, PATCH_DIM), np.float32)
+    taps = np.asarray(blur_taps, np.float32)
+    for o in range(PATCH_DIM):
+        lo, hi = max(0, o - r), min(PATCH_DIM, o + r + 1)
+        b[lo:hi, o] = taps[lo - o + r : hi - o + r]
+    return b
+
+
+def _interp_coord_11(c):
+    """resample._interp_coord for dim=11 (kept inline: the kernel cannot
+    import the jnp version's host-side branches). i in [0, 9]; border
+    coordinates saturate via the weight, never via an out-of-range bin."""
+    ch = c - 0.5
+    i = jnp.clip(jnp.floor(ch).astype(jnp.int32), 0, PATCH_DIM - 2)
+    w = 1.0 - (ch - i.astype(ch.dtype))
+    w = jnp.where(c < 0.5, 1.0, w)
+    w = jnp.where(c >= PATCH_DIM - 0.5, 0.0, w)
+    return i, w
+
+
+def _splat_one(cz_row, cy_row, w_row, cx_row, zb, yb, sub_x):
+    """One candidate's raw splat histogram [128(p=z*11+y), 16(x)]."""
+    i0z, w0z = _interp_coord_11(cz_row)  # [1, Vp]
+    i0y, w0y = _interp_coord_11(cy_row)
+    pz = w0z * (zb == i0z) + (1.0 - w0z) * (zb == i0z + 1)
+    py = w0y * (yb == i0y) + (1.0 - w0y) * (yb == i0y + 1)
+    p = pz * py * w_row  # [128(p), Vp]
+    i0x, w0x = _interp_coord_11(cx_row)
+    axt = w0x * (sub_x == i0x) + (1.0 - w0x) * (sub_x == i0x + 1)
+    return jax.lax.dot_general(
+        p, axt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _iotas(vp):
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (_P_LANES, vp), 0)
+    zb = lane_p // PATCH_DIM  # rows 121..127 -> z = 11: never matched
+    yb = lane_p % PATCH_DIM
+    sub_x = jax.lax.broadcasted_iota(jnp.int32, (_X_LANES, vp), 0)
+    return zb, yb, sub_x
+
+
+def _hist_kernel(cz_ref, cy_ref, w_ref, cx_ref, out_ref):
+    zb, yb, sub_x = _iotas(cz_ref.shape[1])
+    for c in range(cz_ref.shape[0]):
+        out_ref[c] = _splat_one(
+            cz_ref[c : c + 1, :], cy_ref[c : c + 1, :], w_ref[c : c + 1, :],
+            cx_ref[c : c + 1, :], zb, yb, sub_x,
+        )
+
+
+def _interior_mask():
+    """[128, 16] bool: interior (1..9 per axis) histogram positions."""
+    pi = jax.lax.broadcasted_iota(jnp.int32, (_P_LANES, _X_LANES), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (_P_LANES, _X_LANES), 1)
+    z, y = pi // PATCH_DIM, pi % PATCH_DIM
+    good = (z >= 1) & (z <= PATCH_DIM - 2) & (y >= 1) & (y <= PATCH_DIM - 2)
+    return good & (xi >= 1) & (xi <= PATCH_DIM - 2)
+
+
+def _hist_peaks_kernel(cz_ref, cy_ref, w_ref, cx_ref, wt_ref, bx_ref,
+                       hb_ref, pk_ref):
+    """Fused splat + blur + strict-peak mask, entirely in the [128(p),
+    16(x)] layout. The naive XLA path runs the blur/peak elementwise ops
+    on [C, 11, 11, 11] arrays whose 11-wide minor dim uses 11 of 128
+    lanes (~9% VPU utilization) — composed, that cost ~35 ms of the
+    ~50 ms canonical stage per 4096-candidate chunk."""
+    zb, yb, sub_x = _iotas(cz_ref.shape[1])
+    interior = _interior_mask()
+    neg = jnp.float32(-jnp.inf)
+    for c in range(cz_ref.shape[0]):
+        raw = _splat_one(
+            cz_ref[c : c + 1, :], cy_ref[c : c + 1, :], w_ref[c : c + 1, :],
+            cx_ref[c : c + 1, :], zb, yb, sub_x,
+        )
+        # separable blur as two constant matmuls: x via the [16, 16]
+        # banded matrix, (z, y) jointly via the [128, 128] transposed
+        # Kronecker band W^T[q, p] = B[z(p), z(q)] * B[y(p), y(q)]
+        hbx = jax.lax.dot_general(
+            raw, bx_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hb = jax.lax.dot_general(
+            wt_ref[:], hbx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hb_ref[c] = hb
+        # strict 26-neighbor peaks, factored: the x-max (2 lane rolls) is
+        # shared by all 8 nonzero (dz, dy) sublane offsets (interior-only,
+        # so p +- dz*11+dy is the true neighbor; wrap garbage lands
+        # outside the interior mask). 10 rolls instead of 26.
+        xm = pltpu.roll(hb, _X_LANES - 1, 1)
+        xp = pltpu.roll(hb, 1, 1)
+        mx3 = jnp.maximum(hb, jnp.maximum(xm, xp))
+        m = jnp.maximum(xm, xp)  # the (0, 0, +-1) neighbors
+        for dzy in (-12, -11, -10, -1, 1, 10, 11, 12):
+            m = jnp.maximum(m, pltpu.roll(mx3, (-dzy) % _P_LANES, 0))
+        pk_ref[c] = jnp.where((hb > m) & interior, hb, neg)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def splat_histogram_raw(cx, cy, cz, weights, interpret: bool = False):
+    """Unblurred trilinear splat histograms on the MXU.
+
+    cx/cy/cz: [C, V] continuous coordinates (0.5-center); weights [C, V].
+    Returns [C, 11, 11, 11] float32. Equivalent to
+    features._splat_histogram (fp reduction order differs).
+    """
+    c = cx.shape[0]
+    bc = 8
+    # padding columns carry weight 0, so they contribute exactly 0
+    (cz_p, cy_p, w_p, cx_p), cp, vp = _pad_inputs(cx, cy, cz, weights, bc)
+
+    raw = pl.pallas_call(
+        _hist_kernel,
+        out_shape=jax.ShapeDtypeStruct((cp, _P_LANES, _X_LANES), jnp.float32),
+        grid=(cp // bc,),
+        in_specs=[
+            pl.BlockSpec((bc, vp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, vp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, vp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, vp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bc, _P_LANES, _X_LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(cz_p, cy_p, w_p, cx_p)
+    raw = raw[:c, : PATCH_DIM * PATCH_DIM, :PATCH_DIM]
+    return raw.reshape(c, PATCH_DIM, PATCH_DIM, PATCH_DIM)
+
+
+def _pad_inputs(cx, cy, cz, weights, bc):
+    c, v = cx.shape
+    vp = (v + 127) // 128 * 128
+    cp = (c + bc - 1) // bc * bc
+    out = []
+    for a in (cz, cy, weights, cx):
+        out.append(jnp.pad(a.astype(jnp.float32), ((0, cp - c), (0, vp - v))))
+    return out, cp, vp
+
+
+@functools.partial(jax.jit, static_argnames=("blur_taps", "interpret"))
+def smooth_histogram_peaks(cx, cy, cz, weights, blur_taps, interpret: bool = False):
+    """Fused splat + blur + strict-peak mask in the [128(p), 16(x)] layout.
+
+    blur_taps: hashable tuple of 1D Gaussian taps. Returns
+      hb [C, 128, 16]: blurred histogram, p = z*11 + y on sublanes
+      pk [C, 128, 16]: hb where strict interior 26-neighbor peak, -inf else
+    Use features._top_peaks_pf / _interp_hist_peaks_pf to consume them.
+    """
+    c = cx.shape[0]
+    bc = 8
+    (cz_p, cy_p, w_p, cx_p), cp, vp = _pad_inputs(cx, cy, cz, weights, bc)
+    b = blur_band_matrix(blur_taps)
+    wt = np.zeros((_P_LANES, _P_LANES), np.float32)
+    # W[p, q] = b[z(p), z(q)] * b[y(p), y(q)] = kron(b, b); kernel wants W^T
+    wt[:121, :121] = np.kron(b, b).T
+    bx = np.zeros((_X_LANES, _X_LANES), np.float32)
+    bx[:PATCH_DIM, :PATCH_DIM] = b
+
+    hb, pk = pl.pallas_call(
+        _hist_peaks_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((cp, _P_LANES, _X_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cp, _P_LANES, _X_LANES), jnp.float32),
+        ),
+        grid=(cp // bc,),
+        in_specs=[
+            pl.BlockSpec((bc, vp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, vp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, vp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, vp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_P_LANES, _P_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (_X_LANES, _X_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (bc, _P_LANES, _X_LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bc, _P_LANES, _X_LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(cz_p, cy_p, w_p, cx_p, jnp.asarray(wt), jnp.asarray(bx))
+    return hb[:c], pk[:c]
+
+
+def smooth_histogram_pallas(cx, cy, cz, weights, blur_taps, interpret: bool = False):
+    """splat_histogram_raw + separable zero-border blur (banded matmuls
+    on the tiny [C, 1331] result). Matches features._smooth_histogram_axes
+    up to fp reduction order."""
+    raw = splat_histogram_raw(cx, cy, cz, weights, interpret=interpret)
+    b = jnp.asarray(blur_band_matrix(blur_taps))
+    h = jnp.einsum("czyx,zu->cuyx", raw, b)
+    h = jnp.einsum("czyx,yu->czux", h, b)
+    return jnp.einsum("czyx,xu->czyu", h, b)

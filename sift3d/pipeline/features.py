@@ -29,6 +29,7 @@ whole stage is a handful of jitted programs:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import numpy as np
@@ -51,6 +52,11 @@ from sift3d.kernels.patch import (
 )
 
 _HIST_BINS = PATCH_DIM * PATCH_DIM * PATCH_DIM
+
+# test hook: run the Pallas histogram path (canonical_stage) in interpret
+# mode on CPU so the TPU code path is covered by the CPU test suite
+_HIST_PALLAS_INTERPRET = False
+
 
 def scatter_compact(flags: "jnp.ndarray", size: int) -> "jnp.ndarray":
     """Ascending indices of set flags, padded with -1 to `size`.
@@ -135,10 +141,20 @@ def _smooth_histogram_axes(cx, cy, cz, weights: jnp.ndarray, blur_sigma: float) 
     cx/cy/cz: [C, V] continuous per-axis coordinates. Bit-equivalent (up
     to fp reduction order) to blur3d(_splat_histogram(...), blur_sigma)
     with zero borders.
+
+    On TPU this routes to the Pallas splat kernel, which keeps the
+    [C, V, 121] outer-product transient in VMEM (~6.5 ms -> ~1 ms per
+    call at C=4096; the XLA contraction below moves ~2.8 GB of HBM).
     """
+    import os
+
     from sift3d.kernels.gauss import gaussian_kernel_1d
 
     taps = gaussian_kernel_1d(blur_sigma, 0.01)
+    if jax.default_backend() == "tpu" and not os.environ.get("SIFT3D_NO_PALLAS_HIST"):
+        from sift3d.kernels.hist_pallas import smooth_histogram_pallas
+
+        return smooth_histogram_pallas(cx, cy, cz, weights, taps)
     ax = _axis_factors(cx, taps)  # [C, V, 11]
     ay = _axis_factors(cy, taps)
     az = _axis_factors(cz, taps)
@@ -171,24 +187,102 @@ def _interp_hist_peaks(hist: jnp.ndarray, pz, py, px) -> jnp.ndarray:
     """Per-axis quadratic subvoxel interpolation of histogram peaks.
 
     hist: [C, 11, 11, 11]; pz/py/px: [C] or [C, K] int peak coords
-    (interior) — a whole top-k slate interpolates in ONE set of 7
-    gathers (per-slot python loops cost ~25 ms of element gathers at
-    pipeline scale). Returns [C(, K), 3] continuous (x, y, z). Port of
+    (interior). Returns [C(, K), 3] continuous (x, y, z). Port of
     interpolate_discrete_3D_point (MultiScale.cpp:1614-1639).
+
+    The 7 needed histogram values are extracted with separable one-hot
+    contractions instead of element gathers: TPU element gathers cost
+    ~3 ms per call at C=4096 (~17 ms per phase-2b chunk over the K1
+    secondary slots), while these tiny einsums fuse into ~0.2 ms of VPU
+    work. Each sum has exactly one nonzero term, so the values — and the
+    interpolation — are bit-identical to the gather formulation.
     """
-    cidx = jnp.arange(hist.shape[0])
-    if pz.ndim == 2:
-        cidx = cidx[:, None]
+    squeeze = pz.ndim == 1
+    if squeeze:
+        pz, py, px = pz[:, None], py[:, None], px[:, None]
+    grid = jnp.arange(PATCH_DIM)
+    oz = (pz[..., None] == grid).astype(hist.dtype)  # [C, K, 11]
+    oy = (py[..., None] == grid).astype(hist.dtype)
+    ox = (px[..., None] == grid).astype(hist.dtype)
+    # axis profiles: histogram restricted to the peak's row along each axis
+    t = jnp.einsum("czyx,ckz->ckyx", hist, oz)
+    prof_x = jnp.einsum("ckyx,cky->ckx", t, oy)
+    prof_y = jnp.einsum("ckyx,ckx->cky", t, ox)
+    s = jnp.einsum("czyx,cky->ckzx", hist, oy)
+    prof_z = jnp.einsum("ckzx,ckx->ckz", s, ox)
 
-    def axis_interp(vm, v0, vp, coord):
-        return quadratic_interp_1d(
-            vm, v0, vp, coord.astype(jnp.float32) - 1.0, coord.astype(jnp.float32), coord.astype(jnp.float32) + 1.0
-        )
+    def axis_interp(prof, oh, coord):
+        # one-hot shifts select prof[coord -/+ 1] without a gather
+        v0 = (prof * oh).sum(-1)
+        vm = (prof[..., :-1] * oh[..., 1:]).sum(-1)
+        vp = (prof[..., 1:] * oh[..., :-1]).sum(-1)
+        cf = coord.astype(jnp.float32)
+        return quadratic_interp_1d(vm, v0, vp, cf - 1.0, cf, cf + 1.0)
 
-    v0 = hist[cidx, pz, py, px]
-    fx = axis_interp(hist[cidx, pz, py, px - 1], v0, hist[cidx, pz, py, px + 1], px)
-    fy = axis_interp(hist[cidx, pz, py - 1, px], v0, hist[cidx, pz, py + 1, px], py)
-    fz = axis_interp(hist[cidx, pz - 1, py, px], v0, hist[cidx, pz + 1, py, px], pz)
+    out = jnp.stack(
+        [
+            axis_interp(prof_x, ox, px),
+            axis_interp(prof_y, oy, py),
+            axis_interp(prof_z, oz, pz),
+        ],
+        axis=-1,
+    )
+    return out[:, 0] if squeeze else out
+
+
+def _top_peaks_pf(pk: jnp.ndarray, k: int):
+    """_top_peaks over the Pallas [C, 128(p=z*11+y), 16(x)] peak-masked
+    layout (non-peaks are -inf). Tie order matches the [C, 11, 11, 11]
+    flat argmax: p*16 + x is lexicographic in (z, y, x) too."""
+    c = pk.shape[0]
+    vals, idx = jax.lax.top_k(pk.reshape(c, -1), k)
+    valid = jnp.isfinite(vals)
+    p, px = idx // 16, idx % 16
+    pz, py = p // PATCH_DIM, p % PATCH_DIM
+    pz = jnp.clip(pz, 1, PATCH_DIM - 2)
+    py = jnp.clip(py, 1, PATCH_DIM - 2)
+    px = jnp.clip(px, 1, PATCH_DIM - 2)
+    return vals, pz, py, px, valid
+
+
+def _interp_hist_peaks_pf(hb: jnp.ndarray, pz, py, px) -> jnp.ndarray:
+    """_interp_hist_peaks over the Pallas [C, 128(p), 16(x)] layout.
+
+    Same separable one-hot trick, but every contraction runs on full
+    128/16-lane arrays instead of 11-wide minor dims (the [C, 11, 11, 11]
+    layout leaves ~91% of the VPU lanes idle). Values are bit-identical
+    to gathers from hb. pz/py/px: [C, K] interior peak coords.
+    """
+    pp = pz * PATCH_DIM + py
+    op = (pp[..., None] == jnp.arange(hb.shape[1])).astype(hb.dtype)  # [C, K, 128]
+    ox = (px[..., None] == jnp.arange(hb.shape[2])).astype(hb.dtype)  # [C, K, 16]
+    prof_x = jnp.einsum("cpx,ckp->ckx", hb, op)
+    prof_p = jnp.einsum("cpx,ckx->ckp", hb, ox)
+
+    def quad(vm, v0, vp_, coord):
+        cf = coord.astype(jnp.float32)
+        return quadratic_interp_1d(vm, v0, vp_, cf - 1.0, cf, cf + 1.0)
+
+    v0 = (prof_p * op).sum(-1)
+    fx = quad(
+        (prof_x[..., :-1] * ox[..., 1:]).sum(-1),
+        v0,
+        (prof_x[..., 1:] * ox[..., :-1]).sum(-1),
+        px,
+    )
+    fy = quad(
+        (prof_p[..., :-1] * op[..., 1:]).sum(-1),
+        v0,
+        (prof_p[..., 1:] * op[..., :-1]).sum(-1),
+        py,
+    )
+    # z +- 1 is p -+ 11 (y fixed; interior peaks never cross a z row)
+    fz = quad(
+        (prof_p[..., :-PATCH_DIM] * op[..., PATCH_DIM:]).sum(-1),
+        v0,
+        (prof_p[..., PATCH_DIM:] * op[..., :-PATCH_DIM]).sum(-1),
+        pz,
+    )
     return jnp.stack([fx, fy, fz], axis=-1)
 
 
@@ -416,54 +510,84 @@ def canonical_stage(pn, cfg: SiftConfig):
     e3 = g3 / mag_safe  # unit edges [C, 3, Vs]
 
     rad = float(PATCH_RAD)
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("SIFT3D_NO_PALLAS_HIST")
+    ) or _HIST_PALLAS_INTERPRET
+
+    def hist_tops(hx, hy, hz, k, w=None):
+        """Blurred-histogram peak values + their subvoxel interpolations.
+
+        On TPU the whole chain (splat, blur, strict-peak mask, neighbor
+        extraction) runs in the Pallas [128(p), 16(x)] layout — the
+        [C, 11, 11, 11] form leaves ~91% of the VPU idle and cost ~35 ms
+        of the ~50 ms canonical stage per 4096-candidate chunk."""
+        w = wgt if w is None else w
+        if use_pallas:
+            from sift3d.kernels.gauss import gaussian_kernel_1d
+            from sift3d.kernels.hist_pallas import smooth_histogram_peaks
+
+            taps = tuple(
+                float(t) for t in gaussian_kernel_1d(cfg.ori_hist_blur_sigma, 0.01)
+            )
+            hb, pkm = smooth_histogram_peaks(
+                hx, hy, hz, w, taps, interpret=_HIST_PALLAS_INTERPRET
+            )
+            v, pz, py, px, pkv = _top_peaks_pf(pkm, k)
+            itp = _interp_hist_peaks_pf(hb, pz, py, px)
+        else:
+            hist = _smooth_histogram_axes(hx, hy, hz, w, cfg.ori_hist_blur_sigma)
+            v, pz, py, px, pkv = _top_peaks(hist, k)
+            itp = _interp_hist_peaks(hist, pz, py, px)
+        return v, pkv, itp
+
     # primary histogram: splat at e*rad + rad (+0.5) (MultiScale.cpp:2805-2816)
-    hist1 = _smooth_histogram_axes(
+    v1, pk1, itp1 = hist_tops(
         e3[:, 0] * rad + rad + 0.5,
         e3[:, 1] * rad + rad + 0.5,
         e3[:, 2] * rad + rad + 0.5,
-        wgt, cfg.ori_hist_blur_sigma,
+        k1,
     )
-    v1, pz1, py1, px1, pk1 = _top_peaks(hist1, k1)
     # threshold: >= 0.8 * strongest (strict < breaks, MultiScale.cpp:2889)
     valid1 = pk1 & (v1 >= cfg.ori_peak_threshold * v1[:, :1]) & (v1 > 0)
     # subvoxel interp, center-shift, normalize -> P1, all slots at once
-    p1 = _norm_or_x(_interp_hist_peaks(hist1, pz1, py1, px1) - rad)  # [C, K1, 3]
+    p1 = _norm_or_x(itp1 - rad)  # [C, K1, 3]
 
-    # secondary histograms per primary slot
-    oris = []
-    oris_valid = []
-    for s1 in range(k1):
-        p1s = p1[:, s1]  # [C, 3]
-        p1v = p1s[:, :, None]  # [C, 3, 1] broadcast form
-        par = (e3 * p1v).sum(axis=1, keepdims=True)  # [C, 1, Vs]
-        perp = e3 - par * p1v  # [C, 3, Vs]
-        pss = (perp * perp).sum(axis=1, keepdims=True)
-        perp = jnp.where(
-            pss > 0,
-            perp / jnp.sqrt(jnp.where(pss > 0, pss, 1.0)),
-            jnp.zeros_like(perp).at[:, 0].set(1.0),
-        )  # _norm_or_x in [C, 3, V] layout
-        hist2 = _smooth_histogram_axes(
-            perp[:, 0] * rad + rad + 0.5,
-            perp[:, 1] * rad + rad + 0.5,
-            perp[:, 2] * rad + rad + 0.5,
-            wgt, cfg.ori_hist_blur_sigma,
-        )
-        v2, pz2, py2, px2, pk2 = _top_peaks(hist2, k2)
-        valid2 = pk2 & (v2 >= cfg.ori_2nd_peak_threshold * v2[:, :1]) & (v2 > 0)
-        # all K2 slots at once: interp, orthogonalize against P1,
-        # renormalize (MultiScale.cpp:3006-3015), third axis = cross
-        p2 = _norm_or_x(_interp_hist_peaks(hist2, pz2, py2, px2) - rad)  # [C, K2, 3]
-        p1b = p1s[:, None, :]
-        p2 = _norm_or_x(p2 - (p2 * p1b).sum(-1, keepdims=True) * p1b)
-        p3 = jnp.cross(jnp.broadcast_to(p1b, p2.shape), p2)
-        mat = jnp.stack([jnp.broadcast_to(p1b, p2.shape), p2, p3], axis=2)
-        oris.append(mat)  # [C, K2, 3, 3], rows = P1, P2, P3
-        oris_valid.append(valid1[:, s1 : s1 + 1] & valid2)
-
-    return dict(
-        ori=jnp.stack(oris, axis=1), ori_valid=jnp.stack(oris_valid, axis=1)
+    # secondary histograms: ALL K1 primary slots batch into ONE histogram
+    # call at C*K1 rows — per-slot python loops left ~3 ms of per-call
+    # overhead on the table for each of the 6 slots
+    par = jnp.einsum("cdv,ckd->ckv", e3, p1)  # [C, K1, V]
+    perp = e3[:, None, :, :] - par[:, :, None, :] * p1[..., None]  # [C, K1, 3, V]
+    pss = (perp * perp).sum(axis=2, keepdims=True)
+    perp = jnp.where(
+        pss > 0,
+        perp / jnp.sqrt(jnp.where(pss > 0, pss, 1.0)),
+        jnp.zeros_like(perp).at[:, :, 0].set(1.0),
+    )  # _norm_or_x in [C, K1, 3, V] layout
+    pf = perp.reshape(c * k1, 3, -1)
+    wgt_k = jnp.broadcast_to(wgt[:, None, :], (c, k1, wgt.shape[-1])).reshape(
+        c * k1, -1
     )
+    v2, pk2, itp2 = hist_tops(
+        pf[:, 0] * rad + rad + 0.5,
+        pf[:, 1] * rad + rad + 0.5,
+        pf[:, 2] * rad + rad + 0.5,
+        k2,
+        wgt_k,
+    )
+    v2 = v2.reshape(c, k1, k2)
+    pk2 = pk2.reshape(c, k1, k2)
+    valid2 = pk2 & (v2 >= cfg.ori_2nd_peak_threshold * v2[:, :, :1]) & (v2 > 0)
+    # all K1*K2 slots at once: interp, orthogonalize against P1,
+    # renormalize (MultiScale.cpp:3006-3015), third axis = cross
+    p2 = _norm_or_x(itp2.reshape(c, k1, k2, 3) - rad)  # [C, K1, K2, 3]
+    p1b = p1[:, :, None, :]  # [C, K1, 1, 3]
+    p2 = _norm_or_x(p2 - (p2 * p1b).sum(-1, keepdims=True) * p1b)
+    p1k = jnp.broadcast_to(p1b, p2.shape)
+    p3 = jnp.cross(p1k, p2)
+    ori = jnp.stack([p1k, p2, p3], axis=3)  # [C, K1, K2, 3, 3] rows P1, P2, P3
+    return dict(ori=ori, ori_valid=valid1[:, :, None] & valid2)
 
 
 def orient_stage(patches, cfg: SiftConfig):
