@@ -75,17 +75,22 @@ def octave_core(base: jnp.ndarray, cfg: SiftConfig):
     for j in range(1, cfg.blurs_total):
         levels.append(_blur(levels[-1], inc[j - 1], cfg.blur_precision))
     gstack = jnp.stack(levels, axis=-4)  # level dim before Z, Y, X
-    dogs = gstack[..., :-1, :, :, :] - gstack[..., 1:, :, :, :]
-    # Pallas sum-of-sign stencil on TPU (17x the lax version); lax
-    # elsewhere (CPU tests / other backends)
-    if jax.default_backend() == "tpu" and dogs.shape[-4] == 5:
-        from sift3d.kernels.extrema_pallas import extrema_mask_pallas
+    # fused Pallas DoG + extrema on TPU (one Gaussian-slab pass produces
+    # both, ~6x the separate subtract + stencil flow); lax elsewhere
+    if (
+        jax.default_backend() == "tpu"
+        and gstack.shape[-4] == 6
+        and gstack.shape[-3] >= 4
+    ):
+        from sift3d.kernels.extrema_pallas import dogs_extrema_pallas
 
-        mask = extrema_mask_pallas(dogs)
-    elif dogs.ndim == 5:
-        mask = jax.vmap(extrema_mask)(dogs)
+        dogs, mask = dogs_extrema_pallas(gstack)
     else:
-        mask = extrema_mask(dogs)
+        dogs = gstack[..., :-1, :, :, :] - gstack[..., 1:, :, :, :]
+        if dogs.ndim == 5:
+            mask = jax.vmap(extrema_mask)(dogs)
+        else:
+            mask = extrema_mask(dogs)
     next_base = subsample_2x(levels[cfg.blurs_per_octave])
     return gstack, dogs, mask, next_base
 

@@ -81,3 +81,27 @@ def test_pallas_extrema_matches_lax_interpret(rng):
     got = np.asarray(extrema_mask_pallas(jnp.asarray(d), interpret=True))
     np.testing.assert_array_equal(got, want)
     assert (want != 0).sum() > 0
+
+
+def test_pallas_dogs_extrema_matches_lax_interpret(rng):
+    """Fused Gaussian-slab DoG + extrema kernel (interpret mode) vs the
+    XLA subtract + lax stencil, batched, odd Z (padding tail) included."""
+    import scipy.ndimage as ndi
+
+    from sift3d.kernels.extrema_pallas import dogs_extrema_pallas
+
+    for shape in ((6, 12, 20, 36), (2, 6, 13, 20, 36), (6, 5, 9, 17)):
+        g = rng.standard_normal(shape).astype(np.float32)
+        g = np.stack(
+            [ndi.gaussian_filter(x, 1.5) for x in g.reshape((-1,) + shape[-3:])]
+        ).reshape(shape).astype(np.float32)
+        want_dogs = g[..., :-1, :, :, :] - g[..., 1:, :, :, :]
+        if g.ndim == 5:
+            want_mask = np.stack(
+                [np.asarray(extrema.extrema_mask(jnp.asarray(d))) for d in want_dogs]
+            )
+        else:
+            want_mask = np.asarray(extrema.extrema_mask(jnp.asarray(want_dogs)))
+        dogs, mask = dogs_extrema_pallas(jnp.asarray(g), interpret=True)
+        np.testing.assert_array_equal(np.asarray(dogs), want_dogs)
+        np.testing.assert_array_equal(np.asarray(mask), want_mask)
