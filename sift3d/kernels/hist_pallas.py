@@ -190,6 +190,149 @@ def _pad_inputs(cx, cy, cz, weights, bc):
     return out, cp, vp
 
 
+_TOPK_LANES = 16  # output row: val, 6 neighbors, flat index, padding
+_BIG_IDX = 1 << 20
+
+
+def _hist_topk_kernel(cnt_ref, cz_ref, cy_ref, w_ref, cx_ref, wt_ref, bx_ref,
+                      out_ref, *, k: int):
+    """Fused splat + blur + strict-peak + top-k + neighbor extraction.
+
+    smooth_histogram_peaks materializes [C, 128, 16] hb/pk buffers that
+    XLA then feeds through lax.top_k and one-hot interpolation einsums —
+    at phase-2b scale (C*(1+K1) rows per chunk) those buffers and the
+    top_k are most of the canonical stage's device time. Here the peaks
+    are extracted inside the kernel (iterative max + first-index, the
+    exact tie order lax.top_k uses) and only [C, k, 16] peak rows leave
+    VMEM: lane 0 = peak value, lanes 1-6 = the +-1 neighbors along
+    x/y/z (for the quadratic subvoxel interpolation), lane 7 = the flat
+    p*16+x position. Rows past the live count (cnt_ref) skip their
+    compute entirely — the canonical stage compacts secondary-histogram
+    rows to a live prefix, so dead (invalid-primary) rows cost nothing.
+    """
+    i = pl.program_id(0)
+    bc = cz_ref.shape[0]
+
+    @pl.when(i * bc < cnt_ref[0])
+    def _():
+        zb, yb, sub_x = _iotas(cz_ref.shape[1])
+        interior = _interior_mask()
+        pi = jax.lax.broadcasted_iota(jnp.int32, (_P_LANES, _X_LANES), 0)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (_P_LANES, _X_LANES), 1)
+        idx_mat = pi * _X_LANES + xi
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _TOPK_LANES), 1)
+        neg = jnp.float32(-jnp.inf)
+        hbs, pks = [], []
+        for c in range(bc):
+            raw = _splat_one(
+                cz_ref[c : c + 1, :], cy_ref[c : c + 1, :], w_ref[c : c + 1, :],
+                cx_ref[c : c + 1, :], zb, yb, sub_x,
+            )
+            hbx = jax.lax.dot_general(
+                raw, bx_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            hb = jax.lax.dot_general(
+                wt_ref[:], hbx, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # strict 26-neighbor peak mask (same rolls as _hist_peaks_kernel)
+            xm = pltpu.roll(hb, _X_LANES - 1, 1)
+            xp = pltpu.roll(hb, 1, 1)
+            mx3 = jnp.maximum(hb, jnp.maximum(xm, xp))
+            m = jnp.maximum(xm, xp)
+            for dzy in (-12, -11, -10, -1, 1, 10, 11, 12):
+                m = jnp.maximum(m, pltpu.roll(mx3, (-dzy) % _P_LANES, 0))
+            hbs.append(hb)
+            pks.append(jnp.where((hb > m) & interior, hb, neg))
+        # peak loop OUTER, rows inner: each peak step is a serial chain of
+        # full-array reduces (max -> first-index min -> mask), ~2 reduce
+        # latencies long — but the bc rows are independent, so interleaving
+        # them gives the in-order VPU bc independent chains to overlap
+        # (measured ~3x faster than rows-outer at pipeline row counts)
+        rows = [[] for _ in range(bc)]
+        for _ in range(k):
+            for c in range(bc):
+                hb, pk = hbs[c], pks[c]
+                mval = jnp.max(pk)
+                # first (lowest flat index) slot holding the max: the tie
+                # order lax.top_k produces (-inf == -inf, so an empty peak
+                # set selects slot 0 with value -inf — masked downstream)
+                sel = jnp.min(jnp.where(pk == mval, idx_mat, _BIG_IDX))
+
+                def at_off(off, hb=hb):
+                    # interior peaks keep all six +-1 neighbors in range;
+                    # exactly one slot matches, so the sum IS the value
+                    return jnp.sum(jnp.where(idx_mat == sel + off, hb, 0.0))
+
+                vals = (
+                    mval,
+                    at_off(-1), at_off(1),           # x -/+ 1
+                    at_off(-_X_LANES), at_off(_X_LANES),  # y -/+ 1 (p -/+ 1)
+                    at_off(-PATCH_DIM * _X_LANES),   # z - 1 (p - 11)
+                    at_off(PATCH_DIM * _X_LANES),    # z + 1
+                    jnp.minimum(sel, 2047).astype(jnp.float32),
+                )
+                row = jnp.zeros((1, _TOPK_LANES), jnp.float32)
+                for li, v in enumerate(vals):
+                    row = jnp.where(lane == li, v, row)
+                rows[c].append(row)
+                pks[c] = jnp.where(idx_mat == sel, neg, pk)
+        for c in range(bc):
+            out_ref[c] = jnp.concatenate(rows[c], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("blur_taps", "k", "interpret"))
+def smooth_histogram_topk(cx, cy, cz, weights, blur_taps, k: int,
+                          count=None, interpret: bool = False):
+    """Top-k blurred-histogram peaks with their subvoxel-interp neighbors.
+
+    cx/cy/cz: [C, V] continuous splat coordinates; weights [C, V];
+    blur_taps: hashable tuple of 1D Gaussian taps; count: optional live
+    row count — rows >= count (a PREFIX of dead rows at the tail is NOT
+    required; only rows < count produce defined output) are skipped.
+
+    Returns [C, k, 16] f32: lane 0 peak value (-inf = no peak), lanes
+    1..6 the (x-,x+,y-,y+,z-,z+) blurred-histogram neighbors, lane 7 the
+    flat p*16+x peak position. Values are bit-identical to
+    smooth_histogram_peaks + lax.top_k + one-hot extraction.
+    """
+    c = cx.shape[0]
+    bc = 8
+    (cz_p, cy_p, w_p, cx_p), cp, vp = _pad_inputs(cx, cy, cz, weights, bc)
+    b = blur_band_matrix(blur_taps)
+    wt = np.zeros((_P_LANES, _P_LANES), np.float32)
+    wt[:121, :121] = np.kron(b, b).T
+    bx = np.zeros((_X_LANES, _X_LANES), np.float32)
+    bx[:PATCH_DIM, :PATCH_DIM] = b
+    cnt = (
+        jnp.full((1,), c, jnp.int32)
+        if count is None
+        else jnp.asarray(count, jnp.int32).reshape(1)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cp // bc,),
+        in_specs=[
+            pl.BlockSpec((bc, vp), lambda i, c_: (i, 0)),
+            pl.BlockSpec((bc, vp), lambda i, c_: (i, 0)),
+            pl.BlockSpec((bc, vp), lambda i, c_: (i, 0)),
+            pl.BlockSpec((bc, vp), lambda i, c_: (i, 0)),
+            pl.BlockSpec((_P_LANES, _P_LANES), lambda i, c_: (0, 0)),
+            pl.BlockSpec((_X_LANES, _X_LANES), lambda i, c_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bc, k, _TOPK_LANES), lambda i, c_: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_hist_topk_kernel, k=k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((cp, k, _TOPK_LANES), jnp.float32),
+        interpret=interpret,
+    )(cnt, cz_p, cy_p, w_p, cx_p, jnp.asarray(wt), jnp.asarray(bx))
+    return out[:c]
+
+
 @functools.partial(jax.jit, static_argnames=("blur_taps", "interpret"))
 def smooth_histogram_peaks(cx, cy, cz, weights, blur_taps, interpret: bool = False):
     """Fused splat + blur + strict-peak mask in the [128(p), 16(x)] layout.

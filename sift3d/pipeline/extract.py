@@ -290,7 +290,7 @@ def _phase2b_program(
         kvalid = keep_all[sl]
         pn_k = pn_all[sl]
         scale_k = scale_all[sl]
-        o = fstage.canonical_stage(pn_k, cfg)
+        o = fstage.canonical_stage(pn_k, cfg, kvalid)
         counts.append(
             fstage.emit_count_stage(kvalid, o["ori_valid"], scale_k, cfg, reoriented)
         )
@@ -446,12 +446,21 @@ def extract_features_many(
     n_vol = len(imgs)
 
     # profiling aid: block after every phase dispatch so the stage timer
-    # reports true device cost per phase instead of async dispatch latency
+    # reports true device cost per phase instead of async dispatch latency.
+    # jax.block_until_ready returns without waiting on the axon relay
+    # runtime (readiness is tracked client-side), so completion is forced
+    # by fetching one element of one output — XLA programs complete as a
+    # unit, so one 4-byte D2H (~33 ms RTT) gates the whole phase.
     import os
 
-    _sync = jax.block_until_ready if os.environ.get("SIFT3D_SYNC_PHASES") else (
-        lambda x: x
-    )
+    def _sync_fetch(x):
+        for leaf in jax.tree.leaves(x):
+            if hasattr(leaf, "ravel") and leaf.size:
+                jax.device_get(leaf.ravel()[:1])
+                break
+        return x
+
+    _sync = _sync_fetch if os.environ.get("SIFT3D_SYNC_PHASES") else (lambda x: x)
 
     # volumes of the same shape advance together as ONE stacked batch:
     # per-dispatch host latency through the tunnel (~30 ms RTT) dominates

@@ -482,9 +482,49 @@ def select_stage(keep_rows, cand, pn, eigs, eig_ori, xyz, scale, kbucket: int):
     )
 
 
+def _hist_tops_fused(hx, hy, hz, w, taps, k: int, count=None):
+    """hist_tops via the fused Pallas top-k kernel (TPU path).
+
+    Returns (vals [C, k], valid [C, k], itp [C, k, 3] continuous (x, y, z))
+    bit-identical to the smooth_histogram_peaks + _top_peaks_pf +
+    _interp_hist_peaks_pf composition: the kernel extracts the same peak
+    set in the same tie order and the same 7 histogram values per peak.
+    """
+    from sift3d.kernels.hist_pallas import smooth_histogram_topk
+
+    out = smooth_histogram_topk(
+        hx, hy, hz, w, taps, k, count=count, interpret=_HIST_PALLAS_INTERPRET
+    )
+    v = out[..., 0]
+    valid = jnp.isfinite(v)
+    flat = out[..., 7].astype(jnp.int32)
+    px = flat % 16
+    pp = flat // 16
+    pz, py = pp // PATCH_DIM, pp % PATCH_DIM
+
+    def quad(vm, vp_, coord):
+        cf = coord.astype(jnp.float32)
+        return quadratic_interp_1d(vm, v, vp_, cf - 1.0, cf, cf + 1.0)
+
+    itp = jnp.stack(
+        [
+            quad(out[..., 1], out[..., 2], px),
+            quad(out[..., 3], out[..., 4], py),
+            quad(out[..., 5], out[..., 6], pz),
+        ],
+        axis=-1,
+    )
+    return v, valid, itp
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def canonical_stage(pn, cfg: SiftConfig):
+def canonical_stage(pn, cfg: SiftConfig, kvalid=None):
     """Canonical orientation histograms for (already normalized) patches.
+
+    kvalid: optional [C] survivor mask — secondary histograms run only
+    for (candidate, primary) slots with kvalid & valid-primary (the
+    emission masks ori_valid with kvalid anyway, so skipping dead rows
+    changes no emitted feature).
 
     Returns dict with ori [C,K1,K2,3,3] (rows = P1/P2/P3) and
     ori_valid [C,K1,K2].
@@ -516,30 +556,27 @@ def canonical_stage(pn, cfg: SiftConfig):
         and not os.environ.get("SIFT3D_NO_PALLAS_HIST")
     ) or _HIST_PALLAS_INTERPRET
 
-    def hist_tops(hx, hy, hz, k, w=None):
+    def hist_tops(hx, hy, hz, k, w=None, count=None):
         """Blurred-histogram peak values + their subvoxel interpolations.
 
-        On TPU the whole chain (splat, blur, strict-peak mask, neighbor
-        extraction) runs in the Pallas [128(p), 16(x)] layout — the
-        [C, 11, 11, 11] form leaves ~91% of the VPU idle and cost ~35 ms
-        of the ~50 ms canonical stage per 4096-candidate chunk."""
+        On TPU the whole chain (splat, blur, strict-peak mask, top-k,
+        neighbor extraction) is ONE fused Pallas kernel in the [128(p),
+        16(x)] layout (see hist_pallas._hist_topk_kernel) — the
+        [C, 11, 11, 11] XLA form leaves ~91% of the VPU idle, and even
+        the earlier split Pallas kernel left [C, 128, 16] hb/pk HBM
+        round trips plus a lax.top_k that dominated the stage. `count`
+        skips rows >= it entirely (live rows must sit below count)."""
         w = wgt if w is None else w
         if use_pallas:
             from sift3d.kernels.gauss import gaussian_kernel_1d
-            from sift3d.kernels.hist_pallas import smooth_histogram_peaks
 
             taps = tuple(
                 float(t) for t in gaussian_kernel_1d(cfg.ori_hist_blur_sigma, 0.01)
             )
-            hb, pkm = smooth_histogram_peaks(
-                hx, hy, hz, w, taps, interpret=_HIST_PALLAS_INTERPRET
-            )
-            v, pz, py, px, pkv = _top_peaks_pf(pkm, k)
-            itp = _interp_hist_peaks_pf(hb, pz, py, px)
-        else:
-            hist = _smooth_histogram_axes(hx, hy, hz, w, cfg.ori_hist_blur_sigma)
-            v, pz, py, px, pkv = _top_peaks(hist, k)
-            itp = _interp_hist_peaks(hist, pz, py, px)
+            return _hist_tops_fused(hx, hy, hz, w, taps, k, count=count)
+        hist = _smooth_histogram_axes(hx, hy, hz, w, cfg.ori_hist_blur_sigma)
+        v, pz, py, px, pkv = _top_peaks(hist, k)
+        itp = _interp_hist_peaks(hist, pz, py, px)
         return v, pkv, itp
 
     # primary histogram: splat at e*rad + rad (+0.5) (MultiScale.cpp:2805-2816)
@@ -554,40 +591,60 @@ def canonical_stage(pn, cfg: SiftConfig):
     # subvoxel interp, center-shift, normalize -> P1, all slots at once
     p1 = _norm_or_x(itp1 - rad)  # [C, K1, 3]
 
-    # secondary histograms: ALL K1 primary slots batch into ONE histogram
-    # call at C*K1 rows — per-slot python loops left ~3 ms of per-call
-    # overhead on the table for each of the 6 slots
-    par = jnp.einsum("cdv,ckd->ckv", e3, p1)  # [C, K1, V]
-    perp = e3[:, None, :, :] - par[:, :, None, :] * p1[..., None]  # [C, K1, 3, V]
-    pss = (perp * perp).sum(axis=2, keepdims=True)
+    # secondary histograms: only (candidate, primary) slots that can emit
+    # — valid primary peak, surviving candidate — do real work. The live
+    # slots compact to a prefix of the [C*K1] capacity (typically ~15% of
+    # it: ~45% of candidates survive eig/bounds and ~2 of K1=6 primary
+    # slots are valid), and the fused histogram kernel skips everything
+    # past the live count; results scatter back to the [C, K1, K2] layout
+    flags2 = valid1 if kvalid is None else (valid1 & kvalid[:, None])
+    flags_f = flags2.reshape(c * k1)
+    rcnt = flags_f.sum()
+    sidx = scatter_compact(flags_f, c * k1)
+    svalid = sidx >= 0
+    ridx = jnp.clip(sidx, 0)
+    ci, ki = ridx // k1, ridx % k1
+    e3_r = e3[ci]  # [R, 3, V]
+    p1_r = p1[ci, ki]  # [R, 3]
+    wgt_r = wgt[ci]
+    par = jnp.einsum("rdv,rd->rv", e3_r, p1_r)  # [R, V]
+    perp = e3_r - par[:, None, :] * p1_r[..., None]  # [R, 3, V]
+    pss = (perp * perp).sum(axis=1, keepdims=True)
     perp = jnp.where(
         pss > 0,
         perp / jnp.sqrt(jnp.where(pss > 0, pss, 1.0)),
-        jnp.zeros_like(perp).at[:, :, 0].set(1.0),
-    )  # _norm_or_x in [C, K1, 3, V] layout
-    pf = perp.reshape(c * k1, 3, -1)
-    wgt_k = jnp.broadcast_to(wgt[:, None, :], (c, k1, wgt.shape[-1])).reshape(
-        c * k1, -1
-    )
+        jnp.zeros_like(perp).at[:, 0].set(1.0),
+    )  # _norm_or_x in [R, 3, V] layout
     v2, pk2, itp2 = hist_tops(
-        pf[:, 0] * rad + rad + 0.5,
-        pf[:, 1] * rad + rad + 0.5,
-        pf[:, 2] * rad + rad + 0.5,
+        perp[:, 0] * rad + rad + 0.5,
+        perp[:, 1] * rad + rad + 0.5,
+        perp[:, 2] * rad + rad + 0.5,
         k2,
-        wgt_k,
+        wgt_r,
+        count=rcnt,
     )
-    v2 = v2.reshape(c, k1, k2)
-    pk2 = pk2.reshape(c, k1, k2)
-    valid2 = pk2 & (v2 >= cfg.ori_2nd_peak_threshold * v2[:, :, :1]) & (v2 > 0)
-    # all K1*K2 slots at once: interp, orthogonalize against P1,
+    valid2r = pk2 & (v2 >= cfg.ori_2nd_peak_threshold * v2[:, :1]) & (v2 > 0)
+    # all K2 slots at once: interp, orthogonalize against P1,
     # renormalize (MultiScale.cpp:3006-3015), third axis = cross
-    p2 = _norm_or_x(itp2.reshape(c, k1, k2, 3) - rad)  # [C, K1, K2, 3]
-    p1b = p1[:, :, None, :]  # [C, K1, 1, 3]
+    p2 = _norm_or_x(itp2 - rad)  # [R, K2, 3]
+    p1b = p1_r[:, None, :]  # [R, 1, 3]
     p2 = _norm_or_x(p2 - (p2 * p1b).sum(-1, keepdims=True) * p1b)
     p1k = jnp.broadcast_to(p1b, p2.shape)
     p3 = jnp.cross(p1k, p2)
-    ori = jnp.stack([p1k, p2, p3], axis=3)  # [C, K1, K2, 3, 3] rows P1, P2, P3
-    return dict(ori=ori, ori_valid=valid1[:, :, None] & valid2)
+    orir = jnp.stack([p1k, p2, p3], axis=2)  # [R, K2, 3, 3] rows P1, P2, P3
+    tgt = jnp.where(svalid, ridx, c * k1)  # dead rows drop in the scatter
+    valid2 = (
+        jnp.zeros((c * k1, k2), bool).at[tgt].set(valid2r, mode="drop")
+    ).reshape(c, k1, k2)
+    ori = (
+        jnp.zeros((c * k1, k2, 3, 3), jnp.float32)
+        .at[tgt]
+        .set(orir, mode="drop")
+        .reshape(c, k1, k2, 3, 3)
+    )
+    # flags2 subsumes valid1 (and kvalid, which every consumer of
+    # ori_valid re-applies), so the scattered valid2 IS ori_valid
+    return dict(ori=ori, ori_valid=valid2)
 
 
 def orient_stage(patches, cfg: SiftConfig):
