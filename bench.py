@@ -65,7 +65,7 @@ def _is_oom(exc: BaseException) -> bool:
     return "RESOURCE_EXHAUSTED" in s or "out of memory" in s.lower()
 
 
-def _run_batch(batch: int):
+def _run_batch(batch: int, n_runs: int = 5):
     """Time extraction at one batch size. Returns (volumes/sec, feat counts)."""
     from sift3d.core.config import DEFAULT_CONFIG
     from sift3d.pipeline.extract import extract_features_many
@@ -76,19 +76,19 @@ def _run_batch(batch: int):
     n_feats = [len(f) for f in feats]
 
     times = []
-    for _ in range(5):
+    for _ in range(n_runs):
         t0 = time.perf_counter()
         extract_features_many(vols, DEFAULT_CONFIG)
         times.append(time.perf_counter() - t0)
     return batch / float(np.median(times)), n_feats
 
 
-def _run_single(batch: int) -> None:
+def _run_single(batch: int, n_runs: int = 5) -> None:
     """Child-process entry: time one batch size, print the JSON line."""
     from sift3d.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    vps, n_feats = _run_batch(batch)
+    vps, n_feats = _run_batch(batch, n_runs)
     baseline_cpu_s = 55.0  # GaussBlur3D.cpp:527 (CPU pyramid)
     print(
         json.dumps(
@@ -99,52 +99,95 @@ def _run_single(batch: int) -> None:
                 "unit": "volumes/sec/chip",
                 "vs_baseline": round(vps * baseline_cpu_s, 2),
             }
-        )
+        ),
+        flush=True,
     )
 
 
 def main() -> None:
+    """Always-prints benchmark driver.
+
+    The failure mode of a benchmark must never be silence (the reference's
+    timing harness always prints, MultiScale.cpp:296-302). Strategy:
+
+    1. Run the SMALLEST safe batch (1) first and print its JSON line the
+       moment it succeeds — from then on the round has a number.
+    2. Climb the ladder (12 -> 8 -> 4, stopping at first success) and print
+       each IMPROVED line; the driver reads the last line printed.
+    3. The parent enforces an overall wall-clock budget
+       (SIFT3D_BENCH_BUDGET_S, default 540 s): it never launches an attempt
+       that could not finish inside the budget, and each child gets at most
+       the remaining budget (minus a safety margin) as its timeout.
+    4. Each attempt runs in a SUBPROCESS: a RESOURCE_EXHAUSTED leaves this
+       backend/tunnel unusable for the rest of the process (smaller retries
+       inherit the OOM — observed live at batch 16), so isolation is the
+       only reliable step-down. The persistent XLA compilation cache makes
+       later children start hot.
+    """
     import os
     import subprocess
     import sys
 
-    # a batch of distinct volumes processed with interleaved scheduling:
-    # volumes/sec is the serving metric, and phase interleaving hides the
-    # host-sync latency of any one volume. Batch 12 measured best; HBM
-    # headroom varies run to run on the shared relay chip, so on failure
-    # the batch steps down (12 -> 8 -> 4 -> 2 -> 1) instead of failing the
-    # round — the bench must always report a number. Each attempt runs in
-    # a SUBPROCESS: a RESOURCE_EXHAUSTED leaves this backend/tunnel
-    # unusable for the rest of the process (smaller retries inherit the
-    # OOM), so isolation is the only reliable step-down.
     single = os.environ.get("SIFT3D_BENCH_SINGLE")
     if single:
-        _run_single(int(single))
+        _run_single(int(single), int(os.environ.get("SIFT3D_BENCH_RUNS", "5")))
         return
-    start = int(os.environ.get("SIFT3D_BENCH_BATCH", "12"))
-    ladder = sorted({b for b in (start, 8, 4, 2, 1) if b <= start}, reverse=True)
-    errors = []
-    for batch in ladder:
-        for attempt in range(2):
-            env = dict(os.environ, SIFT3D_BENCH_SINGLE=str(batch))
+
+    budget = float(os.environ.get("SIFT3D_BENCH_BUDGET_S", "540"))
+    deadline = time.monotonic() + budget
+    best_vps = -1.0
+
+    def attempt(batch: int, n_runs: int, cap_s: float) -> str:
+        """Run one batch in a subprocess. Returns 'ok'/'oom'/'fail'/'budget'."""
+        nonlocal best_vps
+        remaining = deadline - time.monotonic()
+        if remaining < 30.0:
+            return "budget"
+        env = dict(
+            os.environ, SIFT3D_BENCH_SINGLE=str(batch), SIFT3D_BENCH_RUNS=str(n_runs)
+        )
+        try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=3000,
+                env=env, capture_output=True, text=True,
+                timeout=min(cap_s, remaining - 10.0),
             )
-            line = next(
-                (ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')),
-                None,
-            )
-            if proc.returncode == 0 and line:
-                print(line)
-                return
-            sys.stderr.write(proc.stderr[-4000:])
-            errors.append(f"batch {batch} rc={proc.returncode}")
-            if "RESOURCE_EXHAUSTED" in proc.stderr or "out of memory" in proc.stderr.lower():
-                print(f"# batch {batch} exhausted HBM; stepping down", file=sys.stderr)
-                break  # smaller batch, no point retrying this one
-            # transient backend error: one retry, same batch
-    raise SystemExit(f"bench failed at every batch size in {ladder}: {errors}")
+        except subprocess.TimeoutExpired:
+            print(f"# batch {batch}: timed out, keeping best so far", file=sys.stderr)
+            return "fail"
+        line = next(
+            (ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')), None
+        )
+        if proc.returncode == 0 and line:
+            vps = json.loads(line)["value"]
+            if vps > best_vps:
+                best_vps = vps
+                print(line, flush=True)  # driver reads the LAST line
+            return "ok"
+        sys.stderr.write(proc.stderr[-4000:])
+        if "RESOURCE_EXHAUSTED" in proc.stderr or "out of memory" in proc.stderr.lower():
+            print(f"# batch {batch}: exhausted HBM", file=sys.stderr)
+            return "oom"
+        return "fail"
+
+    # Phase 1: guaranteed number. Batch 1, short timing loop, generous cap
+    # (first compile through the remote-compile tunnel is the slow part).
+    for _ in range(2):
+        if attempt(1, n_runs=3, cap_s=420.0) == "ok":
+            break
+
+    # Phase 2: climb. Batch 12 measured best in round 2; HBM headroom on the
+    # shared relay chip varies, so step down on OOM. Stop at first success —
+    # larger batch == higher vol/s on this pipeline (measured r1/r2).
+    start = int(os.environ.get("SIFT3D_BENCH_BATCH", "12"))
+    for batch in [b for b in (start, 8, 4) if 1 < b <= start]:
+        status = attempt(batch, n_runs=5, cap_s=300.0)
+        if status in ("ok", "budget"):
+            break
+        # 'oom' or 'fail': step down to the next smaller batch
+
+    if best_vps < 0:
+        raise SystemExit("bench failed to produce any number (see stderr)")
 
 
 if __name__ == "__main__":

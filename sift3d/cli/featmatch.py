@@ -14,6 +14,8 @@ Usage (mirrors featMatchMultiple/featMatchMultiple.cpp:398-486):
                   with W * xyz / scale (default -1 = off)
       --all-to-all : run the soft-vote group matcher (matchAllToAll)
                      in addition to pairwise registration
+      --shard-match : shard the group-vote kNN over all devices (mesh
+                      analogue of the OpenMP chunks, featMatchMultiple.cpp:108)
 
 Outputs (same files as the reference): _command.txt, _names.txt,
 feature_count.txt, per-pair .matches.img1/img2.txt + .trans.txt +
@@ -117,6 +119,7 @@ def main(argv=None) -> int:
     neighbors = 5
     file_list = None
     all_to_all = False
+    shard_match = False
     refine = False
     geometry_weight = -1.0
     i = 0
@@ -137,6 +140,11 @@ def main(argv=None) -> int:
             file_list = argv[i]
         elif a == "--all-to-all":
             all_to_all = True
+        elif a == "--shard-match":
+            # shard the group-vote kNN sweep over all visible devices —
+            # the mesh analogue of the reference's OpenMP image chunks
+            # (featMatchMultiple.cpp:9,108-117)
+            shard_match = True
         elif a == "--refine":
             refine = True
         elif a in ("-g", "-G"):
@@ -197,12 +205,17 @@ def main(argv=None) -> int:
         match_all_to_one(names, split_sets[1], report, cfg, refine)
 
     if all_to_all:
-        gm = groupvote.GroupMatcher(sets, labels, geometry_weight, cfg)
+        mesh = None
+        if shard_match:
+            from sift3d.dist.mesh import make_mesh
+
+            mesh = make_mesh()  # all devices on the "batch" axis
+        gm = groupvote.GroupMatcher(sets, labels, geometry_weight, cfg, mesh=mesh)
         res = gm.match_all_to_all()
         groupvote.write_vote_files(res, tag=feat_type)
         if peaks_mode == 2:
             for tag, ss in (("Valley", split_sets[0]), ("Peaks", split_sets[1])):
-                gm = groupvote.GroupMatcher(ss, labels, geometry_weight, cfg)
+                gm = groupvote.GroupMatcher(ss, labels, geometry_weight, cfg, mesh=mesh)
                 groupvote.write_vote_files(gm.match_all_to_all(), tag=tag, append=True)
     return 0
 

@@ -119,4 +119,6 @@ def blur3d_sharded(
 
 def shard_volume(vol, mesh: Mesh, axis_name: str = "space"):
     """Place a [Z, Y, X] volume Z-sharded on the mesh."""
-    return jax.device_put(vol, NamedSharding(mesh, P(axis_name, None, None)))
+    from sift3d.dist.mesh import space_sharding
+
+    return jax.device_put(vol, space_sharding(mesh, axis_name))

@@ -38,9 +38,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("batch", None, None, None))
 
 
-def space_sharding(mesh: Mesh) -> NamedSharding:
-    """[Z, Y, X] volume sharded spatially along Z."""
-    return NamedSharding(mesh, P(None, "space", None))
+def space_sharding(mesh: Mesh, axis_name: str = "space") -> NamedSharding:
+    """[Z, Y, X] volume sharded spatially along Z (leading axis).
+
+    Z is the halo-exchange axis everywhere in dist/ (halo.py, spatial.py).
+    """
+    return NamedSharding(mesh, P(axis_name, None, None))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -52,8 +52,13 @@ class GroupMatcher:
         labels: Optional[Sequence[int]] = None,
         geometry_weight: float = -1.0,
         cfg: SiftConfig = DEFAULT_CONFIG,
+        mesh=None,
     ):
         self.cfg = cfg
+        # optional jax.sharding.Mesh: shards the kNN sweep over its first
+        # axis — the TPU analogue of the reference's OpenMP image chunks
+        # (featMatchMultiple.cpp:9,108-117)
+        self.mesh = mesh
         self.n_img = len(feature_sets)
         self.labels = np.asarray(
             labels if labels is not None else np.arange(self.n_img), dtype=np.int64
@@ -248,9 +253,22 @@ class GroupMatcher:
         import jax.numpy as jnp
 
         k = min(self.cfg.knn_neighbors, len(self.feat_img))
-        # knn_search_tiled batches all tiles' device fetches and returns
-        # host arrays, so the per-image slices below are free
-        dists, idx = knn_search_tiled(self.db, jnp.asarray(self.db), k)
+        if self.mesh is not None and len(self.db) and k:
+            # mesh path: queries sharded over the first mesh axis, database
+            # replicated via ICI all_gather semantics (dist/gather.py) —
+            # same results as the single-device sweep (tested), N-way faster
+            from sift3d.dist.gather import sharded_knn
+
+            axis = self.mesh.axis_names[0]
+            n = self.mesh.shape[axis]
+            pad = (-len(self.db)) % n
+            qp = np.pad(self.db, ((0, pad), (0, 0))) if pad else self.db
+            dists, idx = sharded_knn(qp, jnp.asarray(self.db), k, self.mesh, axis)
+            dists, idx = dists[: len(self.db)], idx[: len(self.db)]
+        else:
+            # knn_search_tiled batches all tiles' device fetches and returns
+            # host arrays, so the per-image slices below are free
+            dists, idx = knn_search_tiled(self.db, jnp.asarray(self.db), k)
         votes = np.zeros((self.n_img, self.n_labels), np.float64)
         counts = np.zeros((self.n_img, self.n_labels), np.int64)
         ll = np.zeros((self.n_img, self.n_labels), np.float64)

@@ -188,3 +188,23 @@ def test_ratio_match_oracle_two_element_db(rng):
     got = pairwise.ratio_match(q, db, cfg)
     np.testing.assert_array_equal(got.db_idx, want.db_idx)
     np.testing.assert_allclose(got.ratio, want.ratio, rtol=1e-6)
+
+
+def test_group_matcher_sharded_matches_unsharded(rng):
+    """Mesh-sharded kNN sweep must reproduce the single-device vote matrices
+    exactly (featMatchMultiple.cpp:108-117's OpenMP chunks, mesh-ified)."""
+    from sift3d.dist.mesh import make_mesh
+
+    base = rng.standard_normal((17, 64)).astype(np.float32)
+    sets = [
+        _random_feats(17, rng, desc=base.copy()),
+        _random_feats(19, rng, desc=None),
+        _random_feats(13, rng, desc=None),
+    ]
+    sets[1].desc[:9] = base[:9] + rng.normal(0, 0.05, (9, 64)).astype(np.float32)
+    mesh = make_mesh()  # 8 simulated CPU devices; 17+19+13=49 pads to 56
+    want = groupvote.GroupMatcher(sets).match_all_to_all()
+    got = groupvote.GroupMatcher(sets, mesh=mesh).match_all_to_all()
+    np.testing.assert_allclose(got.votes, want.votes, rtol=1e-6, atol=1e-9)
+    np.testing.assert_array_equal(got.counts, want.counts)
+    np.testing.assert_allclose(got.log_likelihood, want.log_likelihood, rtol=1e-6, atol=1e-9)
