@@ -30,7 +30,7 @@ def sharded_knn(queries, db, k: int, mesh: Mesh, axis_name: str = "batch"):
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(axis_name, None), P()),
-        out_specs=(P(axis_name, None), P(axis_name, None)),
+        out_specs=(P(), P()),
         check_vma=False,
     )
     def _knn(q_local, db_full):
@@ -42,7 +42,12 @@ def sharded_knn(queries, db, k: int, mesh: Mesh, axis_name: str = "batch"):
         )
         d2 = jnp.maximum(qn[:, None] + dn[None, :] - 2.0 * cross, 0.0)
         neg, idx = jax.lax.top_k(-d2, k)
-        return -neg, idx
+        # replicate the (tiny, [Q, k]) results so the host can read them
+        # from ANY process — required for multi-host meshes, free at [Q, k]
+        return (
+            jax.lax.all_gather(-neg, axis_name, axis=0, tiled=True),
+            jax.lax.all_gather(idx, axis_name, axis=0, tiled=True),
+        )
 
     d, i = _knn(qs, dbr)
     return np.asarray(d), np.asarray(i)
