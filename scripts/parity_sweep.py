@@ -1,0 +1,116 @@
+"""Parity sweep: dims x flags x seeds matrix vs the reference binary.
+
+Runs scripts/parity_vs_reference.py once per cell (subprocess isolation:
+an OOM or a reference-binary failure costs one cell, not the sweep) and
+merges the per-cell JSON into one matrix artifact (PARITY_r03.json).
+
+Usage:
+    python scripts/parity_sweep.py [--out PARITY_r03.json]
+        [--dims 64,96,128] [--seeds 3,11,19] [--budget-s 5400]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+HARNESS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "parity_vs_reference.py")
+
+# flag sets: default, double-size, half-size, world-coords with anisotropic
+# voxels (featExtract.cpp:368-388 and :118-204)
+FLAG_SETS = [
+    ("", "1,1,1"),
+    ("-2+", "1,1,1"),
+    ("-2-", "1,1,1"),
+    ("-w", "1,1,1.5"),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PARITY_r03.json")
+    ap.add_argument("--dims", default="64,96,128")
+    ap.add_argument("--seeds", default="3,11,19")
+    ap.add_argument("--budget-s", type=float, default=5400.0)
+    ap.add_argument("--cell-timeout", type=float, default=1200.0)
+    args = ap.parse_args()
+
+    dims = [int(d) for d in args.dims.split(",")]
+    seeds = [int(s) for s in args.seeds.split(",")]
+    deadline = time.monotonic() + args.budget_s
+
+    cells, failures = [], []
+    for d in dims:
+        for flags, voxel in FLAG_SETS:
+            for seed in seeds:
+                label = f"dims={d} flags='{flags}' seed={seed}"
+                remaining = deadline - time.monotonic()
+                if remaining < 60:
+                    failures.append({"cell": label, "error": "sweep budget exhausted"})
+                    continue
+                with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+                    cell_json = tf.name
+                cmd = [
+                    sys.executable, HARNESS, "--dims", str(d), "--seed", str(seed),
+                    "--voxel", voxel, "--json", cell_json,
+                ]
+                if flags:
+                    cmd += ["--flags", flags]
+                print(f"=== {label}", flush=True)
+                try:
+                    r = subprocess.run(
+                        cmd, capture_output=True, text=True,
+                        timeout=min(args.cell_timeout, remaining),
+                    )
+                except subprocess.TimeoutExpired:
+                    failures.append({"cell": label, "error": "timeout"})
+                    continue
+                if r.returncode != 0 or not os.path.getsize(cell_json):
+                    failures.append({
+                        "cell": label, "error": f"rc={r.returncode}",
+                        "tail": (r.stdout + r.stderr)[-1500:],
+                    })
+                    continue
+                with open(cell_json) as f:
+                    cell = json.load(f)
+                os.unlink(cell_json)
+                cells.append(cell)
+                print(
+                    f"    ratio {cell['feature_count_ratio']}, repeat "
+                    f"{cell['repeatability_ref_to_ours']}/{cell['repeatability_ours_to_ref']}, "
+                    f"copies {cell.get('copies_per_kp_ref')}/{cell.get('copies_per_kp_ours')}",
+                    flush=True,
+                )
+
+    def agg(key):
+        vals = [c[key] for c in cells if c.get(key) is not None]
+        return round(sum(vals) / len(vals), 4) if vals else None
+
+    summary = {
+        "cells_run": len(cells),
+        "cells_failed": len(failures),
+        "mean_feature_count_ratio": agg("feature_count_ratio"),
+        "min_feature_count_ratio": (
+            round(min(c["feature_count_ratio"] for c in cells), 4) if cells else None
+        ),
+        "mean_repeatability_ref_to_ours": agg("repeatability_ref_to_ours"),
+        "min_repeatability_ref_to_ours": (
+            round(min(c["repeatability_ref_to_ours"] for c in cells), 4) if cells else None
+        ),
+        "mean_repeatability_ours_to_ref": agg("repeatability_ours_to_ref"),
+        "mean_copy_count_agreement": agg("copy_count_agreement"),
+    }
+    out = {"summary": summary, "cells": cells, "failures": failures}
+    with open(args.out, "wt") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(summary))
+    return 0 if cells and not failures else (0 if cells else 1)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

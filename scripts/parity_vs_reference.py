@@ -85,7 +85,15 @@ def main():
     ap.add_argument(
         "--json", default=None, help="also write the parity metrics to this JSON file"
     )
+    ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument(
+        "--voxel", default="1,1,1",
+        help="voxel size (x,y,z) written to the NIfTI header — pair an "
+             "anisotropic size with -w to exercise the world-resample path "
+             "(featExtract.cpp:118-204)",
+    )
     args = ap.parse_args()
+    voxel = tuple(float(v) for v in args.voxel.split(","))
 
     tmp = tempfile.mkdtemp(prefix="sift3d_parity_")
     ref_bin = args.ref
@@ -96,9 +104,9 @@ def main():
 
     from sift3d.io import keyfile, nifti
 
-    vol = synthetic_volume(args.dims)
+    vol = synthetic_volume(args.dims, seed=args.seed)
     vol_path = os.path.join(tmp, "vol.nii")
-    nifti.write(vol_path, vol, voxel_size=(1.0, 1.0, 1.0))
+    nifti.write(vol_path, vol, voxel_size=voxel)
 
     flags = [f for f in args.flags.split() if f]
     ref_key = os.path.join(tmp, "ref.key")
@@ -125,6 +133,33 @@ def main():
     print(f"repeatability ref->ours: {fwd:.3f}")
     print(f"repeatability ours->ref: {rev:.3f}")
 
+    # reoriented-copy-count agreement per matched unoriented keypoint: the
+    # reference emits <=30 reoriented copies per keypoint
+    # (MultiScale.cpp:1821-1859); count agreement is the sensitive fidelity
+    # metric for the orientation-histogram peak logic
+    def copy_counts(full, unor, tol=0.75):
+        rr = full.select(full.is_reoriented)
+        if len(unor) == 0 or len(rr) == 0:
+            return np.zeros(len(unor), np.int64)
+        d = np.linalg.norm(unor.xyz[:, None, :] - rr.xyz[None, :, :], axis=-1)
+        sr = unor.scale[:, None] / rr.scale[None, :]
+        return ((d < tol) & (np.abs(np.log(sr)) < 1e-3)).sum(axis=1)
+
+    copy_agree = copy_ref_mean = copy_our_mean = None
+    m0 = nearest >= 0
+    if m0.any():
+        cr = copy_counts(ref_feats, ru)[m0]
+        co = copy_counts(ours, ou)[nearest[m0]]
+        copy_agree = float((cr == co).mean())
+        copy_ref_mean, copy_our_mean = float(cr.mean()), float(co.mean())
+        print(f"reoriented copies per matched keypoint: ref mean {cr.mean():.2f}, "
+              f"ours mean {co.mean():.2f}, exact-agreement {copy_agree:.3f}")
+        if (cr != co).any():
+            for qi in np.nonzero(cr != co)[0][:12]:
+                ui = np.nonzero(m0)[0][qi]
+                print(f"  mismatch at ref kp {ui} xyz={ru.xyz[ui]} scale={ru.scale[ui]:.2f}: "
+                      f"ref {cr[qi]} vs ours {co[qi]} copies")
+
     # descriptor agreement on matched unoriented pairs
     m = nearest >= 0
     desc_l2 = desc_l2_rand = None
@@ -145,6 +180,8 @@ def main():
                 {
                     "dims": args.dims,
                     "flags": flags,
+                    "seed": args.seed,
+                    "voxel": list(voxel),
                     "backend": jax.default_backend(),
                     "ref_feats": len(ref_feats),
                     "our_feats": len(ours),
@@ -155,6 +192,9 @@ def main():
                     "feature_count_ratio": round(len(ours) / max(len(ref_feats), 1), 4),
                     "desc_l2_matched": desc_l2,
                     "desc_l2_random": desc_l2_rand,
+                    "copy_count_agreement": copy_agree,
+                    "copies_per_kp_ref": copy_ref_mean,
+                    "copies_per_kp_ours": copy_our_mean,
                 },
                 f,
                 indent=1,

@@ -66,6 +66,76 @@ def warp_volume(vol, rot, scale, trans):
     return np.asarray(out, np.float32)
 
 
+def score_pair(f1, f2, vol_shape, rot, scale, trans, tag=""):
+    """Repeatability / match precision / match recall of (f1 from V1, f2
+    from V2) under the known warp. f1/f2 may come from DIFFERENT
+    implementations — descriptors on both sides are rank vectors 0..63
+    (NormalizeDataRankedPCs, MultiScale.cpp:207-233), so the ratio-test +
+    Hough matcher (featMatchUtilities.cpp:1027-1260 semantics) scores
+    mixed-source keys exactly as same-source ones."""
+    from sift3d.core.config import DEFAULT_CONFIG
+    from sift3d.match.pairwise import match_keys
+
+    zd, yd, xd = vol_shape
+    c = np.array([xd, yd, zd], np.float64) / 2.0
+    mapped = scale * (f2.xyz - c) @ rot.T + c + trans  # V2 -> V1 coords
+    mapped_scale = f2.scale * scale
+
+    d = np.linalg.norm(mapped[:, None, :] - f1.xyz[None, :, :], axis=-1)
+    sr = mapped_scale[:, None] / f1.scale[None, :]
+    true_pair = (d < 2.0) & (sr < 2 ** (1 / 3)) & (sr > 2 ** (-1 / 3))
+    has_truth = true_pair.any(axis=1)
+    repeatability = float(has_truth.mean()) if len(f2) else 0.0
+
+    res = match_keys(f1, f2, DEFAULT_CONFIG)
+    inl = res.inlier
+    m2 = res.model_idx[inl]  # indices into f2
+    m1 = res.input_idx[inl]  # indices into f1
+    correct = true_pair[m2, m1] if len(m2) else np.zeros(0, bool)
+    precision = float(correct.mean()) if len(m2) else 0.0
+    matched_true = np.zeros(len(f2), bool)
+    matched_true[m2[correct]] = True
+    recall = float(matched_true[has_truth].mean()) if has_truth.any() else 0.0
+
+    err_s = abs(res.transform.scale - scale) / scale
+    err_r = float(np.abs(res.transform.rot - rot).max())
+    print(f"[{tag}] v1={len(f1)} v2={len(f2)} feats | repeat {repeatability:.3f} | "
+          f"inliers {int(inl.sum())}/{len(res.model_idx)} | precision {precision:.3f} | "
+          f"recall {recall:.3f} | scale_err {err_s:.4f} rot_err {err_r:.4f}")
+    return {
+        "n1": len(f1), "n2": len(f2),
+        "repeatability": round(repeatability, 4),
+        "inliers": int(inl.sum()), "matches": int(len(res.model_idx)),
+        "precision": round(precision, 4), "recall": round(recall, 4),
+        "scale_err": round(float(err_s), 5), "rot_err": round(err_r, 5),
+    }
+
+
+def extract_reference(vols, tmp):
+    """Run the reference CPU binary on each volume; returns FeatureSets."""
+    import shutil
+    import stat
+    import subprocess
+
+    from sift3d.io import keyfile, nifti
+
+    ref_bin = os.path.join(tmp, "featExtract")
+    shutil.copy(
+        "/root/reference/3dsift_cleanup-softVote_App_Weight_SoftMax/bin/Linux/featExtract",
+        ref_bin,
+    )
+    os.chmod(ref_bin, os.stat(ref_bin).st_mode | stat.S_IXUSR)
+    out = []
+    for i, v in enumerate(vols):
+        vp = os.path.join(tmp, f"v{i}.nii")
+        nifti.write(vp, v)
+        kp = os.path.join(tmp, f"v{i}.key")
+        subprocess.run([ref_bin, vp, kp], check=True, capture_output=True, timeout=1800)
+        feats, _ = keyfile.read_text(kp)
+        out.append(feats.remove_non_reoriented())
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dims", type=int, default=96)
@@ -74,12 +144,13 @@ def main():
     ap.add_argument("--trans", type=float, default=3.0)
     ap.add_argument(
         "--reference", action="store_true",
-        help="also run the reference binary on the same pair and score it",
+        help="also run the reference binary: ref-vs-ref control + the two "
+             "cross-implementation directions (BASELINE.md match-recall target)",
     )
+    ap.add_argument("--json", default=None, help="write all scores to this JSON file")
     args = ap.parse_args()
 
     from sift3d.core.config import DEFAULT_CONFIG
-    from sift3d.match.pairwise import match_keys
     from sift3d.pipeline.extract import extract_features_many
     from sift3d.utils.cache import enable_compilation_cache
 
@@ -97,66 +168,34 @@ def main():
     f1, f2 = extract_features_many([v1, v2], DEFAULT_CONFIG)
     f1 = f1.apply_eig_threshold(140.0).remove_non_reoriented()
     f2 = f2.apply_eig_threshold(140.0).remove_non_reoriented()
-    print(f"features: v1={len(f1)} v2={len(f2)}")
+
+    results = {
+        "dims": args.dims, "angle_deg": args.angle, "scale": scale,
+        "trans": list(trans),
+        "ours_vs_ours": score_pair(f1, f2, v1.shape, rot, scale, trans, "ours-vs-ours"),
+    }
 
     if args.reference:
         import shutil
-        import stat
-        import subprocess
         import tempfile
 
-        from sift3d.io import keyfile, nifti
-
         tmp = tempfile.mkdtemp(prefix="sift3d_recall_")
-        ref_bin = os.path.join(tmp, "featExtract")
-        shutil.copy(
-            "/root/reference/3dsift_cleanup-softVote_App_Weight_SoftMax/bin/Linux/featExtract",
-            ref_bin,
-        )
-        os.chmod(ref_bin, os.stat(ref_bin).st_mode | stat.S_IXUSR)
-        rf = []
-        for i, v in enumerate((v1, v2)):
-            vp = os.path.join(tmp, f"v{i}.nii")
-            nifti.write(vp, v)
-            kp = os.path.join(tmp, f"v{i}.key")
-            subprocess.run([ref_bin, vp, kp], check=True, capture_output=True, timeout=1800)
-            feats, _ = keyfile.read_text(kp)
-            rf.append(feats.remove_non_reoriented())
-        print(f"reference features: v1={len(rf[0])} v2={len(rf[1])}")
-        f1, f2 = rf  # score the reference's own output below
-        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            r1, r2 = extract_reference([v1, v2], tmp)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        # control: the reference matched against itself on the same pair
+        results["ref_vs_ref"] = score_pair(r1, r2, v1.shape, rot, scale, trans, "ref-vs-ref")
+        # cross-implementation: OUR keys matched against the REFERENCE's
+        # (both directions) — the honest BASELINE.md:29 evaluation
+        results["ref1_vs_ours2"] = score_pair(r1, f2, v1.shape, rot, scale, trans, "ref(v1)-vs-ours(v2)")
+        results["ours1_vs_ref2"] = score_pair(f1, r2, v1.shape, rot, scale, trans, "ours(v1)-vs-ref(v2)")
 
-    # feature in V2 at p2 corresponds to V1 at T(p2)
-    zd, yd, xd = v1.shape
-    c = np.array([xd, yd, zd], np.float64) / 2.0
-    mapped = scale * (f2.xyz - c) @ rot.T + c + trans  # V2 -> V1 coords
-    mapped_scale = f2.scale * scale
+    if args.json:
+        import json
 
-    d = np.linalg.norm(mapped[:, None, :] - f1.xyz[None, :, :], axis=-1)
-    sr = mapped_scale[:, None] / f1.scale[None, :]
-    true_pair = (d < 2.0) & (sr < 2 ** (1 / 3)) & (sr > 2 ** (-1 / 3))
-    has_truth = true_pair.any(axis=1)
-    repeatability = float(has_truth.mean())
-    print(f"keypoint repeatability under warp: {repeatability:.3f}")
-
-    res = match_keys(f1, f2, DEFAULT_CONFIG)
-    inl = res.inlier
-    m2 = res.model_idx[inl]  # indices into f2
-    m1 = res.input_idx[inl]  # indices into f1
-    correct = true_pair[m2, m1]
-    precision = float(correct.mean()) if len(m2) else 0.0
-    # recall over f2 features that have a ground-truth counterpart
-    matched_true = np.zeros(len(f2), bool)
-    matched_true[m2[correct]] = True
-    recall = float(matched_true[has_truth].mean()) if has_truth.any() else 0.0
-    print(f"inliers: {inl.sum()} / {len(res.model_idx)} matches")
-    print(f"match precision (inliers that are true pairs): {precision:.3f}")
-    print(f"match recall (true-pair features recovered):  {recall:.3f}")
-
-    err_s = abs(res.transform.scale - scale) / scale
-    err_r = np.abs(res.transform.rot - rot).max()
-    print(f"recovered transform: scale err {err_s:.4f}, rot err {err_r:.4f}, "
-          f"trans {np.round(res.transform.trans, 2)} (true offset incl. center term)")
+        with open(args.json, "wt") as f:
+            json.dump(results, f, indent=1)
     return 0
 
 

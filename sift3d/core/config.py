@@ -52,9 +52,17 @@ class SiftConfig:
     ori_peak_threshold: float = 0.8
     ori_2nd_peak_threshold: float = 0.5
     max_orientations: int = 11  # loop caps at FEATURE_3D_DIM (MultiScale.cpp:2862)
-    # batched capacities (TPU-side fixed shapes; reference is unbounded)
+    # batched capacities (TPU-side fixed shapes). The reference bounds the
+    # TOTAL emitted copies at 11 (iOrientationsReturned < fioImg.z,
+    # MultiScale.cpp:2981) but neither primaries examined (<= 11,
+    # MultiScale.cpp:2862) nor secondaries per primary: k2 = 11 makes the
+    # per-primary envelope exact under the total cap (a single primary with
+    # 7 secondary peaks was measured on real data — PARITY r3). k1 = 6 is a
+    # capacity approximation: > 6 strict-peak primaries all >= 0.8 * max in
+    # one blurred 11^3 histogram has never been observed; raise it for
+    # bit-exact emission in that regime at ~2x canonical-stage capacity.
     max_primary_orientations: int = 6
-    max_secondary_orientations: int = 4
+    max_secondary_orientations: int = 11
 
     # ---- descriptors ----
     descriptor_size: int = 64

@@ -707,6 +707,9 @@ def extract_features_many(
     # 16*chunk cap would truncate if max_orientations were raised past 16)
     s_tot = cfg.max_primary_orientations * cfg.max_secondary_orientations
     cap_limit = chunk * max(1, min(s_tot, cfg.max_orientations))
+    # the rotated samplers row-chunk at 256 (patch.py rc), so any cap
+    # > 256 must divide by it; rounding the limit UP only adds padding
+    cap_limit = -(-cap_limit // 256) * 256
     for j, i in enumerate(surv):
         cap = chunk_meta[i][1]
         n_kept = int(counts[i, 2])

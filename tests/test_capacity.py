@@ -143,7 +143,9 @@ def test_union_chunk_boundary_exact(rng):
 def test_emit_reoriented_theoretical_max_density(rng):
     """EVERY orientation slot valid with max_orientations >= K1*K2: the
     densest legal emission (the case a fixed 16x cap would truncate)."""
-    cfg = SiftConfig(max_orientations=24)
+    base = SiftConfig()
+    s0 = base.max_primary_orientations * base.max_secondary_orientations
+    cfg = SiftConfig(max_orientations=s0)
     c, k1, k2 = 64, cfg.max_primary_orientations, cfg.max_secondary_orientations
     s = k1 * k2
     gstacks = jnp.asarray(rng.standard_normal((1, 6, 12, 12, 12)).astype(np.float32))
@@ -152,8 +154,9 @@ def test_emit_reoriented_theoretical_max_density(rng):
     cand[:, 2:5] = 6
     cand[:, 5] = 1
     ori, ov = _ori_fixture(c, k1, k2, s, rng)  # all 24 slots valid
-    n_max = c * s  # 1536 > 16 * 64
-    cap = _bucket(n_max, c * max(1, min(s, cfg.max_orientations)))
+    n_max = c * s
+    # same 256-row-chunk rounding as the production cap_limit (extract.py)
+    cap = _bucket(n_max, -(-c * max(1, min(s, cfg.max_orientations)) // 256) * 256)
     assert cap >= n_max
     count, packed, _ = fstage.emit_reoriented_stage(
         gstacks, jnp.asarray(cand), jnp.full((c, 3), 6.0), jnp.ones((c,)),
