@@ -382,10 +382,10 @@ def _extract_octave_spatial(oct_res: ShardedOctave, mesh: Mesh, cfg: SiftConfig,
         oct_res.gstack, oct_res.dogs, cand_sh, mesh, cfg, sigmas, tz, true_z,
         halo, descriptor, reoriented, axis_name,
     )
-    counts = np.asarray(jax.device_get(a["counts"])).astype(np.int64)  # [n, 3]
+    counts = np.asarray(jax.device_get(a["counts"])).astype(np.int64)  # [n, 4]
     packed_un, desc_un = jax.device_get([a["packed_un"], a["desc_un"]])
 
-    reor = counts[:, 0] - counts[:, 2]
+    reor = counts[:, 0] - counts[:, 3]
     packed_re = desc_re = None
     s_tot = cfg.max_primary_orientations * cfg.max_secondary_orientations
     if reoriented and int(reor.max()) > 0:

@@ -415,6 +415,11 @@ _RBOX_SMALL = 48  # small-scale bucket: 2.4x fewer MXU FLOPs than 64^3, and
 # its threshold scale 6.50 covers nearly every emitted row in practice
 # (the quadratic scale interpolation rarely pushes octave-grid scale
 # past ~6.3); 64^3 remains the correctness fallback for the tail
+_RBOX_TINY = 24  # tiny-scale bucket (threshold scale 3.03 — the bulk of
+# emitted rows): with _XWIN_TINY it packs 4 y rows per lane group, so the
+# slab kernel's K (and its VPU-bound weight build) drops 3.5x vs the
+# 48-box, 64-window configuration
+_XWIN_TINY = 32
 
 
 def rbox_max_scale(box: int) -> float:
@@ -653,7 +658,7 @@ _XWIN = 64  # x sampling window (covers 2*sqrt(3)*8.06 + 1.5 < 32 half-width)
 _SLAB_VCHUNK = 128  # point chunk inside the slab kernel (VMEM headroom)
 
 
-def _rot_slab_kernel(offs_ref, cnt_ref, lz_ref, ly_ref, lx_ref,
+def _rot_slab_kernel(xwin, offs_ref, cnt_ref, lz_ref, ly_ref, lx_ref,
                      g_ref, out_ref, slab_s, sem):
     """Per-row step: DMA a full-x slab of the row's bounding region
     HBM->VMEM (double-buffered across rows), compact the x window with a
@@ -667,15 +672,17 @@ def _rot_slab_kernel(offs_ref, cnt_ref, lz_ref, ly_ref, lx_ref,
     second-minor (y) offset must be PROVABLY 8-aligned, so the DMA
     fetches [bz, box+8, Xp] at y0a = 8*(y0//8) (the +8 apron absorbs the
     alignment round-down; the caller zero-pads 8 rows past yd) and the
-    64-wide x window is cut in-VMEM by pltpu.roll. Two y rows pack per
-    128-lane group (the window plus its +1 tap needs only 49 lanes), so
-    the matmul contracts K = (box+8)/2 * 128 instead of box * Xp. Rows
-    past the live count (cnt_ref) skip their DMA and compute entirely:
-    emission capacities are power-of-2 padded, so sampler cost tracks
-    the real row count.
+    xwin-wide x window is cut in-VMEM by pltpu.roll. 128 // xwin y rows
+    pack per 128-lane group (an xwin window plus its +1 tap needs only
+    xwin - 15 lanes), so the matmul contracts K = (box+8) * xwin instead
+    of box * Xp — and the in-kernel [K, nv] weight build, the kernel's
+    VPU bottleneck, shrinks by the same factor. Rows past the live count
+    (cnt_ref) skip their DMA and compute entirely: emission capacities
+    are power-of-2 padded, so sampler cost tracks the real row count.
     """
     bz, by_dma, xp = slab_s.shape[1], slab_s.shape[2], slab_s.shape[3]
-    kk = (by_dma // 2) * 128
+    pack = 128 // xwin
+    kk = (by_dma // pack) * 128
     i = pl.program_id(0)
     n = pl.num_programs(0)
     cnt = cnt_ref[0]
@@ -705,14 +712,14 @@ def _rot_slab_kernel(offs_ref, cnt_ref, lz_ref, ly_ref, lx_ref,
         # y taps saturate at the volume border inside the slab: the 8-row
         # apron past yd is zero pad and must stay at weight zero
         y_hi = offs_ref[4, i].astype(jnp.float32)
-        # pack y pairs into 128-lane groups: lanes [0,64) even y's window,
-        # [64,128) odd y's (roll is cyclic per 2*xp row, so both windows
-        # land at static lane offsets; the roll must stay f32 - Mosaic's
-        # dynamic rotate is 32-bit only)
-        slab2 = slab_s[i % 2].reshape(bz, by_dma // 2, 2 * xp)
+        # pack y rows into 128-lane groups: lanes [g*xwin, (g+1)*xwin)
+        # carry y-group-member g's window (roll is cyclic per pack*xp row,
+        # so every window lands at a static lane offset; the roll must
+        # stay f32 - Mosaic's dynamic rotate is 32-bit only)
+        slab2 = slab_s[i % 2].reshape(bz, by_dma // pack, pack * xp)
         rolled = pltpu.roll(slab2, -x0, 2)
         win = jnp.concatenate(
-            [rolled[..., :_XWIN], rolled[..., xp : xp + _XWIN]], axis=-1
+            [rolled[..., g * xp : g * xp + xwin] for g in range(pack)], axis=-1
         )
         boxv = win.reshape(bz, kk).astype(jnp.bfloat16)
 
@@ -722,18 +729,18 @@ def _rot_slab_kernel(offs_ref, cnt_ref, lz_ref, ly_ref, lx_ref,
             ayt = _taps_transposed(ly_ref[0, v, :], by_dma, y_hi).astype(
                 jnp.bfloat16
             )
-            axt = _taps_transposed(lx_ref[0, v, :], _XWIN, float(_XWIN - 2)).astype(
+            axt = _taps_transposed(lx_ref[0, v, :], xwin, float(xwin - 2)).astype(
                 jnp.bfloat16
             )
-            # the packed K layout is (y-pair, y-parity, dx), so both weight
-            # factors broadcast straight into it: ayt rows pair up as
-            # (by_dma/2, 2) and repeat over the 64 dx lanes; axt repeats
-            # over all by_dma (pair, parity) groups
+            # the packed K layout is (y-group, y-member, dx), so both weight
+            # factors broadcast straight into it: ayt rows group as
+            # (by_dma/pack, pack) and repeat over the xwin dx lanes; axt
+            # repeats over all by_dma (group, member) rows
             ay = jnp.broadcast_to(
-                ayt.reshape(by_dma, 1, nv), (by_dma, _XWIN, nv)
+                ayt.reshape(by_dma, 1, nv), (by_dma, xwin, nv)
             ).reshape(kk, nv)
             ax = jnp.broadcast_to(
-                axt[None, :, :], (by_dma, _XWIN, nv)
+                axt[None, :, :], (by_dma, xwin, nv)
             ).reshape(kk, nv)
             wyx = ay * ax  # 4 nonzeros per point
             tyx = jnp.dot(boxv, wyx, preferred_element_type=jnp.float32)
@@ -749,15 +756,20 @@ def sample_patches_rotated_slab(
     box: int = _RBOX_SMALL,
     count: jnp.ndarray | None = None,  # live-row PREFIX; rows >= count skipped
     interpret: bool = False,
+    xwin: int = _XWIN,
 ) -> jnp.ndarray:
     """TPU rotated patch sampler with in-kernel slab DMA (see
     _rot_slab_kernel). Same contract and numerics model as
     sample_patches_rotated_boxed. Requires zd >= box, yd >= box,
-    xd >= 64, box <= 48 (VMEM bound; see _slab_ok) — the emit path falls
-    back to the boxed-slice kernel otherwise. The 8-aligned y origin may
-    reach up to 8 rows past yd, covered by the zero apron padded here."""
+    xd >= xwin, box <= 48 (VMEM bound; see _slab_ok) — the emit path
+    falls back to the boxed-slice kernel otherwise. The 8-aligned y
+    origin may reach up to 8 rows past yd, covered by the zero apron
+    padded here. xwin (64 or 32) bounds the x extent a row may reach
+    (rbox_max_scale of min(box, xwin)); 32 packs 4 y rows per lane group
+    and roughly halves the kernel's per-row cost vs 64."""
     nl, zd, yd, xd = gstack.shape
     bz, by_dma = box, box + 8
+    assert xwin in (32, 64) and by_dma % (128 // xwin) == 0, (box, xwin)
     xp = -(-xd // 128) * 128
     r = centers.shape[0]
 
@@ -777,7 +789,7 @@ def sample_patches_rotated_slab(
     # +8 apron keeps [y0, y0+box) covered; reads never pass yd + 8
     y8 = y0 // 8
     x0 = jnp.clip(
-        jnp.floor(centers[:, 0]).astype(jnp.int32) - _XWIN // 2, 0, xd - _XWIN
+        jnp.floor(centers[:, 0]).astype(jnp.int32) - xwin // 2, 0, xd - xwin
     )
     y_hi = jnp.minimum((yd - 2) - y8 * 8, by_dma - 2)
     offs = jnp.stack([lvl, z0, y8, x0, y_hi], axis=0).astype(jnp.int32)
@@ -816,7 +828,7 @@ def sample_patches_rotated_slab(
         ],
     )
     vals = pl.pallas_call(
-        _rot_slab_kernel,
+        functools.partial(_rot_slab_kernel, xwin),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, n_vc, _SLAB_VCHUNK), jnp.float32),
         interpret=interpret,
@@ -829,12 +841,14 @@ def sample_patches_rotated_slab(
     return vals.reshape(r, PATCH_DIM, PATCH_DIM, PATCH_DIM)
 
 
-def _slab_ok(gstack, box: int) -> bool:
+def _slab_ok(gstack, box: int, xwin: int = _XWIN) -> bool:
     nl, zd, yd, xd = gstack.shape
-    return box <= 48 and zd >= box and yd >= box and xd >= _XWIN
+    return box <= 48 and zd >= box and yd >= box and xd >= xwin
 
 
-def sample_patches_rotated(gstack, lvl, centers, scales, oris, box=_RBOX, count=None):
+def sample_patches_rotated(
+    gstack, lvl, centers, scales, oris, box=_RBOX, count=None, xwin=_XWIN
+):
     """Rotated-patch sampling: slab-DMA Pallas kernel on TPU (boxed-slice
     Pallas kernel where the slab does not fit), boxed XLA contraction
     elsewhere (or with SIFT3D_NO_PALLAS_ROTATED=1)."""
@@ -843,9 +857,9 @@ def sample_patches_rotated(gstack, lvl, centers, scales, oris, box=_RBOX, count=
     if jax.default_backend() == "tpu" and not os.environ.get(
         "SIFT3D_NO_PALLAS_ROTATED"
     ):
-        if _slab_ok(gstack, box) and not os.environ.get("SIFT3D_NO_SLAB_ROTATED"):
+        if _slab_ok(gstack, box, xwin) and not os.environ.get("SIFT3D_NO_SLAB_ROTATED"):
             return sample_patches_rotated_slab(
-                gstack, lvl, centers, scales, oris, box=box, count=count
+                gstack, lvl, centers, scales, oris, box=box, count=count, xwin=xwin
             )
         return sample_patches_rotated_pallas(
             gstack, lvl, centers, scales, oris, box=box

@@ -281,7 +281,7 @@ def _phase2b_program(
     tunnel round trip plus the 2a drain wait.) Non-survivor rows ride
     along masked by kvalid; their order keys stay candidate-ordered, so
     the host merge is unchanged. Returns the per-chunk
-    [total rows, small-box rows, kept] counts (the only host read)."""
+    [total, tiny-box, small-box, kept] counts (the only host read)."""
     keys = ("kvalid", "cand", "pn", "eigs", "eig_ori", "xyz", "scale", "ori", "ori_valid")
     outs = {k: [] for k in keys}
     counts = []
@@ -312,7 +312,7 @@ def _phase2c_program(
     """Row packing + descriptors for all chunks in one program: unoriented
     rows reuse the gather-stage patches; reoriented rows resample rotated
     patches, bucketed by scale so small-scale rows use the 48^3 sampler
-    box. layout: static (res_index, cap_offset, cap, cap_small, cap_large)
+    box. layout: static (res_index, cap_offset, cap, cap_tiny, cap_small, cap_large)
     per surviving chunk; cap_offset/cap address the chunk's cap-length
     (uncompacted) block in the concatenated phase-2b arrays. Takes only
     the Gaussian stacks (the DoG stacks are dead after phase 2a and
@@ -327,7 +327,7 @@ def _phase2c_program(
     a ~33 ms RTT floor + ~30 MB/s through the tunnel, and per-block
     capacity padding was ~1.4x the real rows)."""
     packed, descs = [], []
-    for res_i, koff, kb, cap_s, cap_l in layout:
+    for res_i, koff, kb, cap_t, cap_s, cap_l in layout:
         sl = slice(koff, koff + kb)
         packed.append(
             fstage.pack_unoriented_stage(
@@ -336,7 +336,7 @@ def _phase2c_program(
             )
         )
         descs.append(fstage.descriptor_stage(sel["pn"][sl], descriptor).astype(jnp.uint8))
-        for bucket, cap_b in (("small", cap_s), ("large", cap_l)):
+        for bucket, cap_b in (("tiny", cap_t), ("small", cap_s), ("large", cap_l)):
             if not (reoriented and cap_b > 0):
                 continue
             _, packed_b, patches_b = fstage.emit_reoriented_stage(
@@ -712,12 +712,13 @@ def extract_features_many(
     cap_limit = -(-cap_limit // 256) * 256
     for j, i in enumerate(surv):
         cap = chunk_meta[i][1]
-        n_kept = int(counts[i, 2])
-        n_small = int(counts[i, 1])
-        n_large = int(counts[i, 0]) - n_kept - n_small
+        n_kept = int(counts[i, 3])
+        n_tiny = int(counts[i, 1])
+        n_small = int(counts[i, 2])
+        n_large = int(counts[i, 0]) - n_kept - n_tiny - n_small
         caps = tuple(
             _bucket(n, cap_limit) if (reoriented and n > 0) else 0
-            for n in (n_small, n_large)
+            for n in (n_tiny, n_small, n_large)
         )
         layout_c.append((chunk_meta[i][0], int(a_offs[i]), cap) + caps)
         # block offsets into the COMPACTED download buffer: the program
@@ -725,7 +726,7 @@ def extract_features_many(
         # exact counts (known from the phase-2b sync) give exact slices
         blocks[j] = [(p_off, n_kept)]
         p_off += n_kept
-        for n_b, cap_b in zip((n_small, n_large), caps):
+        for n_b, cap_b in zip((n_tiny, n_small, n_large), caps):
             if cap_b > 0:
                 blocks[j].append((p_off, n_b))
                 p_off += n_b

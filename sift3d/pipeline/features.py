@@ -675,12 +675,12 @@ def resample_stage(gstack, xyz, scale, oris, lvl):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "reoriented"))
 def emit_count_stage(keep, ori_valid, scale, cfg: SiftConfig, reoriented: bool = True):
-    """[total rows, small-box reoriented rows, kept candidates] the chunk
-    will emit (tiny, read synchronously so the packing stage can run at
-    the smallest sufficient capacity, split by rotated-sampler box
+    """[total rows, tiny-box rows, small-box rows, kept candidates] the
+    chunk will emit (tiny, read synchronously so the packing stage can
+    run at the smallest sufficient capacity, split by rotated-sampler box
     bucket; kept rides along so no separate survivor-count sync is
     needed)."""
-    from sift3d.kernels.patch import _RBOX_SMALL, rbox_max_scale
+    from sift3d.kernels.patch import _RBOX_SMALL, _RBOX_TINY, rbox_max_scale
 
     c, k1, k2 = ori_valid.shape
     ovf = ori_valid.reshape(c, k1 * k2)
@@ -688,10 +688,11 @@ def emit_count_stage(keep, ori_valid, scale, cfg: SiftConfig, reoriented: bool =
         ovf = jnp.zeros_like(ovf)
     rank = jnp.cumsum(ovf.astype(jnp.int32), axis=1) - 1
     reor = keep[:, None] & ovf & (rank < cfg.max_orientations)
-    small = (scale <= rbox_max_scale(_RBOX_SMALL))[:, None]
+    tiny = (scale <= rbox_max_scale(_RBOX_TINY))[:, None]
+    small = (~tiny) & (scale <= rbox_max_scale(_RBOX_SMALL))[:, None]
     kept = keep.sum()
     total = kept + reor.sum()
-    return jnp.stack([total, (reor & small).sum(), kept])
+    return jnp.stack([total, (reor & tiny).sum(), (reor & small).sum(), kept])
 
 
 def _pack_rows(order_key, vi, xyz, scale, eigs, ori, info):
@@ -744,13 +745,16 @@ def emit_reoriented_stage(
     batch [B, 6, Z, Y, X]; cand is the compacted [C, 6] candidate table
     whose vi column indexes into it.
 
-    scale_bucket routes rows to a right-sized sampler box: "small" keeps
-    rows whose patch fits the 48^3 box (2.4x fewer MXU FLOPs than 64^3),
-    "large" the rest, "all" disables bucketing. Order keys are global, so
-    the host merge reassembles reference push order across buckets.
+    scale_bucket routes rows to a right-sized sampler box: "tiny" keeps
+    rows whose patch fits the 24^3 box / 32-lane x window (~3.5x cheaper
+    per row than 48^3/64), "small" the 48^3 box, "large" the rest, "all"
+    disables bucketing. Order keys are global, so the host merge
+    reassembles reference push order across buckets.
     """
     from sift3d.core.featureset import INFO_FLAG_MIN0MAX1, INFO_FLAG_REORIENT
-    from sift3d.kernels.patch import _RBOX, _RBOX_SMALL, rbox_max_scale
+    from sift3d.kernels.patch import (
+        _RBOX, _RBOX_SMALL, _RBOX_TINY, _XWIN, _XWIN_TINY, rbox_max_scale,
+    )
 
     vi, lvl, sign = cand[:, 0], cand[:, 1], cand[:, 5]
     c, k1, k2 = ori_valid.shape
@@ -758,9 +762,15 @@ def emit_reoriented_stage(
     ovf = ori_valid.reshape(c, s) & kvalid[:, None]
     rank = jnp.cumsum(ovf.astype(jnp.int32), axis=1) - 1
     slots = ovf & (rank < cfg.max_orientations)
-    box = _RBOX
-    if scale_bucket == "small":
-        slots = slots & (scale <= rbox_max_scale(_RBOX_SMALL))[:, None]
+    box, xwin = _RBOX, _XWIN
+    if scale_bucket == "tiny":
+        slots = slots & (scale <= rbox_max_scale(_RBOX_TINY))[:, None]
+        box, xwin = _RBOX_TINY, _XWIN_TINY
+    elif scale_bucket == "small":
+        slots = slots & (
+            (scale > rbox_max_scale(_RBOX_TINY))
+            & (scale <= rbox_max_scale(_RBOX_SMALL))
+        )[:, None]
         box = _RBOX_SMALL
     elif scale_bucket == "large":
         slots = slots & (scale > rbox_max_scale(_RBOX_SMALL))[:, None]
@@ -791,7 +801,7 @@ def emit_reoriented_stage(
         row_xyz_g = row_xyz + jnp.asarray([0.0, 0.0, float(gz_shift)], jnp.float32)
     patches = sample_patches_rotated(
         gstackf, row_vi * ngl + row_lvl, row_xyz_g, row_scale, row_ori, box=box,
-        count=count,
+        count=count, xwin=xwin,
     )
     packed = _pack_rows(key, row_vi, row_xyz, row_scale, row_eigs, row_ori, row_info)
     packed = jnp.where(row_valid[:, None], packed, -1.0)

@@ -381,3 +381,55 @@ def test_identity_slab_sampler_matches_boxed(rng):
         )
     )
     np.testing.assert_allclose(got8[:8], ref[:8], rtol=1e-4, atol=1e-3)
+
+
+def test_slab_rotated_sampler_tiny_bucket(rng):
+    """Tiny bucket (24^3 box, 32-lane x window, 4 y rows per lane group)
+    vs the XLA boxed contraction on in-range scales."""
+    from sift3d.kernels.patch import (
+        _RBOX_TINY,
+        _XWIN_TINY,
+        rbox_max_scale,
+        sample_patches_rotated_boxed,
+        sample_patches_rotated_slab,
+    )
+
+    L, Z, Y, X = 2, 48, 56, 80  # X forces lane padding (80 -> 128)
+    gstack = jnp.asarray(
+        rng.standard_normal((L, Z, Y, X)).astype(np.float32) * 50 + 150
+    )
+    R = 16
+    lvl = jnp.asarray(rng.integers(0, L, R).astype(np.int32))
+    centers = jnp.asarray(
+        np.stack(
+            [rng.uniform(3, X - 3, R), rng.uniform(3, Y - 3, R), rng.uniform(3, Z - 3, R)],
+            axis=1,
+        ).astype(np.float32)
+    )
+    scales = jnp.asarray(
+        rng.uniform(1.7, rbox_max_scale(_RBOX_TINY), R).astype(np.float32)
+    )
+    q = rng.standard_normal((R, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    w, xq, yq, zq = q.T
+    oris = jnp.asarray(
+        np.stack(
+            [
+                1 - 2 * (yq * yq + zq * zq), 2 * (xq * yq - w * zq), 2 * (xq * zq + w * yq),
+                2 * (xq * yq + w * zq), 1 - 2 * (xq * xq + zq * zq), 2 * (yq * zq - w * xq),
+                2 * (xq * zq - w * yq), 2 * (yq * zq + w * xq), 1 - 2 * (xq * xq + yq * yq),
+            ],
+            axis=1,
+        ).reshape(R, 3, 3).astype(np.float32)
+    )
+    ref = np.asarray(
+        sample_patches_rotated_boxed(gstack, lvl, centers, scales, oris, box=_RBOX_TINY)
+    )
+    got = np.asarray(
+        sample_patches_rotated_slab(
+            gstack, lvl, centers, scales, oris, box=_RBOX_TINY,
+            xwin=_XWIN_TINY, interpret=True,
+        )
+    )
+    scale = np.abs(ref).max()
+    assert np.abs(ref - got).max() < 2e-2 * scale
