@@ -67,18 +67,26 @@ def _is_oom(exc: BaseException) -> bool:
 
 def _run_batch(batch: int, n_runs: int = 5):
     """Time extraction at one batch size. Returns (volumes/sec, feat counts)."""
+    import os
+
     from sift3d.core.config import DEFAULT_CONFIG
     from sift3d.pipeline.extract import extract_features_many
 
+    # software-pipelined streams hide the host syncs and the final
+    # download behind the other streams' device compute (15.3 -> 19.5
+    # vol/s measured at batch 12 with 3 streams of 4 volumes; see
+    # extract_features_many docstring)
+    default_streams = "3" if batch >= 12 else ("2" if batch >= 6 else "1")
+    streams = int(os.environ.get("SIFT3D_BENCH_STREAMS", default_streams))
     vols = [synthetic_t1(seed=7 + i) for i in range(batch)]
     # warmup (compilation)
-    feats = extract_features_many(vols, DEFAULT_CONFIG)
+    feats = extract_features_many(vols, DEFAULT_CONFIG, streams=streams)
     n_feats = [len(f) for f in feats]
 
     times = []
     for _ in range(n_runs):
         t0 = time.perf_counter()
-        extract_features_many(vols, DEFAULT_CONFIG)
+        extract_features_many(vols, DEFAULT_CONFIG, streams=streams)
         times.append(time.perf_counter() - t0)
     return batch / float(np.median(times)), n_feats
 

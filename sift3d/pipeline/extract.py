@@ -426,6 +426,7 @@ def extract_features_many(
     timer: Optional[StageTimer] = None,
     device=None,
     pre_blurred: bool = False,
+    streams: int = 1,
 ):
     """Extract features from several volumes with interleaved scheduling.
 
@@ -440,7 +441,62 @@ def extract_features_many(
     intermediates resident on that device — this is the building block of
     multi-chip data parallelism (sift3d.dist.batch places one volume group
     per mesh device and runs them concurrently).
+
+    streams > 1 splits the batch round-robin into that many sub-batches
+    and advances their pipelines in lockstep from ONE host thread: each
+    stream's blocking host reads (candidate counts, row counts, the final
+    download) run while the OTHER streams' already-dispatched device
+    programs execute, so sync stalls and D2H transfer time hide behind
+    compute. Single dispatch queue, no threads — unlike
+    extract_features_stream this works on runtimes that serialize
+    concurrent clients.
     """
+    if streams > 1 and len(imgs) >= 2 * streams:
+        subsets = [list(range(s, len(imgs), streams)) for s in range(streams)]
+        outs = [[None] for _ in subsets]
+        gens = [
+            _extract_gen(
+                [imgs[i] for i in sub], outs[k], cfg, initial_image_scale,
+                descriptor, reoriented, timer, device, pre_blurred,
+            )
+            for k, sub in enumerate(subsets)
+        ]
+        live = list(gens)
+        while live:
+            for g in list(live):
+                try:
+                    next(g)
+                except StopIteration:
+                    live.remove(g)
+        result = [None] * len(imgs)
+        for sub, o in zip(subsets, outs):
+            for i, f in zip(sub, o[0]):
+                result[i] = f
+        return result
+    out = [None]
+    for _ in _extract_gen(
+        imgs, out, cfg, initial_image_scale, descriptor, reoriented, timer,
+        device, pre_blurred,
+    ):
+        pass
+    return out[0]
+
+
+def _extract_gen(
+    imgs,
+    result_box,
+    cfg: SiftConfig,
+    initial_image_scale: float,
+    descriptor: str,
+    reoriented: bool,
+    timer: Optional[StageTimer],
+    device,
+    pre_blurred: bool,
+):
+    """Pipeline body as a generator: yields right before every blocking
+    host read so a driver can interleave multiple streams (see
+    extract_features_many). Writes the per-volume FeatureSets into
+    result_box[0] and returns."""
     timer = timer or StageTimer(enabled=False)
     sigmas = tuple(cfg.level_sigmas())
     n_vol = len(imgs)
@@ -509,12 +565,14 @@ def extract_features_many(
         gcount_list.append(counts)
 
     if not octave_results:
-        return [FeatureSet.empty(0) for _ in range(n_vol)]
+        result_box[0] = [FeatureSet.empty(0) for _ in range(n_vol)]
+        return
 
     # phase 1.5: one host round trip for every (group, octave, volume)
     # (group count, exact candidate count), then the candidate table is
     # built ON DEVICE (_phase15_tables_program) — the only host work is
     # choosing the static chunk layout from the synced counts
+    yield  # stream switch point: the fetch below blocks on phase 1
     with timer.stage("candidate_counts"):
         cnts = np.concatenate(
             [np.asarray(c).reshape(-1, 2) for c in jax.device_get(gcount_list)]
@@ -557,7 +615,8 @@ def extract_features_many(
             sel_ois.append(oi)
             out_caps.append(tot)
         if not chunk_meta:
-            return empty_result
+            result_box[0] = empty_result
+            return
         with timer.stage("candidate_tables"):
             cand_all = _sync(_phase15_tables_program(
                 tuple(octave_results[oi][2]["gidx"][:, : gbs[oi]] for oi in sel_ois),
@@ -585,6 +644,7 @@ def extract_features_many(
                 ),
                 tuple(caps),
             ))
+        yield  # stream switch point (legacy path): blocking download below
         with timer.stage("candidate_download"):
             host = jax.device_get([x for pair in exact for x in pair])
             idx_np = host[0::2]
@@ -651,7 +711,8 @@ def extract_features_many(
                 chunk_meta.append((oi, cap))
 
         if not cand_parts:
-            return empty_result
+            result_box[0] = empty_result
+            return
         with timer.stage("cand_upload"):
             cand_host = np.concatenate(cand_parts, axis=0)
             cand_all = (
@@ -677,7 +738,7 @@ def extract_features_many(
     # 2b — every chunk runs at its phase-2a capacity (non-survivor rows
     # ride along masked by kvalid), so the device flows straight from the
     # gather/eig program into the canonical-orientation histograms. The
-    # per-chunk kept counts come back in counts_d[:, 2].
+    # per-chunk kept counts come back in counts_d[:, 3].
     a_offs = np.concatenate([[0], np.cumsum([cap for _, cap in chunk_meta])])
     layout_b = tuple(
         (int(a_offs[i]), cap) for i, (_, cap) in enumerate(chunk_meta)
@@ -688,16 +749,18 @@ def extract_features_many(
             r2a["xyz"], r2a["scale"], layout_b, cfg, reoriented,
         ))
 
-    # phase 2c: ONE sync for all per-chunk [total, small, kept] row
+    # phase 2c: ONE sync for all per-chunk [total, tiny, small, kept] row
     # counts, then the split emission: unoriented rows reuse the
     # gather-stage patches (no resampling); only reoriented rows pay the
-    # rotated-patch resampling, bucketed by scale into 48^3- and 64^3-box
+    # rotated-patch resampling, bucketed by scale into right-sized
     # sampler passes
+    yield  # stream switch point: the fetch below blocks on phase 2b
     with timer.stage("row_counts"):
-        counts = np.asarray(counts_d).astype(np.int64)  # [n_chunks, 3]
-    surv = [i for i in range(len(chunk_meta)) if counts[i, 2] > 0]
+        counts = np.asarray(counts_d).astype(np.int64)  # [n_chunks, 4]
+    surv = [i for i in range(len(chunk_meta)) if counts[i, 3] > 0]
     if not surv:
-        return empty_result
+        result_box[0] = empty_result
+        return
     layout_c = []
     blocks: dict = {}
     p_off = 0
@@ -735,6 +798,7 @@ def extract_features_many(
         rows_all = _sync(_phase2c_program(
             gstacks, sel, tuple(layout_c), cfg, descriptor, reoriented, out_cap
         ))
+    yield  # stream switch point: the download blocks on phase 2c
     with timer.stage("download"):
         host_rows = np.asarray(rows_all)  # [out_cap, 35] int32 (bit carrier)
         host_p = np.ascontiguousarray(host_rows[:, :19]).view(np.float32)
@@ -744,32 +808,34 @@ def extract_features_many(
         dict(vol_ids=octave_results[chunk_meta[i][0]][0], octave=octave_results[chunk_meta[i][0]][1])
         for i in surv
     ]
-    per_vol = [[] for _ in range(n_vol)]
-    for pi, p in enumerate(pending):
-        bufs = [host_p[o : o + n] for o, n in blocks[pi]]
-        descs = [host_d[o : o + n] for o, n in blocks[pi]]
-        buf = np.concatenate(bufs)
-        dsc = np.concatenate(descs)
-        keep_mask = buf[:, 17] >= 0
-        buf, dsc = buf[keep_mask], dsc[keep_mask]
-        order = np.argsort(buf[:, 17], kind="stable")  # reference push order
-        buf, dsc = buf[order], dsc[order]
-        factor = np.float32(2.0 ** p["octave"])  # octave scaling (MultiScale.cpp:531-543)
-        for b, vol_i in enumerate(p["vol_ids"]):
-            sel = buf[:, 18] == b
-            if not sel.any():
-                continue
-            per_vol[vol_i].append(
-                FeatureSet(
-                    xyz=buf[sel, 0:3] * factor,
-                    scale=buf[sel, 3] * factor,
-                    eigs=buf[sel, 4:7],
-                    ori=buf[sel, 7:16].reshape(-1, 3, 3),
-                    info=buf[sel, 16].astype(np.uint32),
-                    desc=dsc[sel].astype(np.float32),
+    with timer.stage("assembly"):
+        per_vol = [[] for _ in range(n_vol)]
+        for pi, p in enumerate(pending):
+            bufs = [host_p[o : o + n] for o, n in blocks[pi]]
+            descs = [host_d[o : o + n] for o, n in blocks[pi]]
+            buf = np.concatenate(bufs)
+            dsc = np.concatenate(descs)
+            keep_mask = buf[:, 17] >= 0
+            buf, dsc = buf[keep_mask], dsc[keep_mask]
+            order = np.argsort(buf[:, 17], kind="stable")  # reference push order
+            buf, dsc = buf[order], dsc[order]
+            factor = np.float32(2.0 ** p["octave"])  # octave scaling (MultiScale.cpp:531-543)
+            for b, vol_i in enumerate(p["vol_ids"]):
+                sel = buf[:, 18] == b
+                if not sel.any():
+                    continue
+                per_vol[vol_i].append(
+                    FeatureSet(
+                        xyz=buf[sel, 0:3] * factor,
+                        scale=buf[sel, 3] * factor,
+                        eigs=buf[sel, 4:7],
+                        ori=buf[sel, 7:16].reshape(-1, 3, 3),
+                        info=buf[sel, 16].astype(np.uint32),
+                        desc=dsc[sel].astype(np.float32),
+                    )
                 )
-            )
-    return [FeatureSet.concatenate(s) for s in per_vol]
+        out = [FeatureSet.concatenate(s) for s in per_vol]
+    result_box[0] = out
 
 
 def extract_features_stream(
@@ -791,6 +857,14 @@ def extract_features_stream(
     steady-state cost per batch approaches max(host, device) instead of
     their sum. Device programs from both streams interleave in the one
     TPU execution queue (no contention: dispatch order is preserved).
+
+    HARDWARE-DEPENDENT: the overlap assumes the runtime serves two
+    in-flight clients fairly. On a direct-attached TPU host it does; on
+    the remote-relay runtime used for benching, concurrent clients
+    serialize pathologically (measured < 0.5 vol/s vs 19+ for
+    extract_features_many at batch 12 — PERFORMANCE.md "did NOT pay
+    off"). Measure on YOUR runtime before preferring this entry point;
+    extract_features_many with a large batch is the safe default.
 
     Returns FeatureSets in input order.
     """

@@ -673,6 +673,11 @@ def resample_stage(gstack, xyz, scale, oris, lvl):
     return sample_patches_leveled(gstack, lvl, xyz, scale, oris)
 
 
+def _tiny_bucket_enabled() -> bool:
+    """A/B gate for the 24^3/32-lane sampler bucket (perf measurement)."""
+    return not os.environ.get("SIFT3D_NO_TINY_BUCKET")
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "reoriented"))
 def emit_count_stage(keep, ori_valid, scale, cfg: SiftConfig, reoriented: bool = True):
     """[total rows, tiny-box rows, small-box rows, kept candidates] the
@@ -688,7 +693,10 @@ def emit_count_stage(keep, ori_valid, scale, cfg: SiftConfig, reoriented: bool =
         ovf = jnp.zeros_like(ovf)
     rank = jnp.cumsum(ovf.astype(jnp.int32), axis=1) - 1
     reor = keep[:, None] & ovf & (rank < cfg.max_orientations)
-    tiny = (scale <= rbox_max_scale(_RBOX_TINY))[:, None]
+    if _tiny_bucket_enabled():
+        tiny = (scale <= rbox_max_scale(_RBOX_TINY))[:, None]
+    else:
+        tiny = jnp.zeros_like(scale, bool)[:, None]
     small = (~tiny) & (scale <= rbox_max_scale(_RBOX_SMALL))[:, None]
     kept = keep.sum()
     total = kept + reor.sum()
@@ -767,9 +775,9 @@ def emit_reoriented_stage(
         slots = slots & (scale <= rbox_max_scale(_RBOX_TINY))[:, None]
         box, xwin = _RBOX_TINY, _XWIN_TINY
     elif scale_bucket == "small":
+        lo = rbox_max_scale(_RBOX_TINY) if _tiny_bucket_enabled() else -1.0
         slots = slots & (
-            (scale > rbox_max_scale(_RBOX_TINY))
-            & (scale <= rbox_max_scale(_RBOX_SMALL))
+            (scale > lo) & (scale <= rbox_max_scale(_RBOX_SMALL))
         )[:, None]
         box = _RBOX_SMALL
     elif scale_bucket == "large":
