@@ -73,11 +73,11 @@ def _run_batch(batch: int, n_runs: int = 5):
     from sift3d.pipeline.extract import extract_features_many
 
     # software-pipelined streams hide the host syncs and the final
-    # download behind the other streams' device compute (15.3 -> 19.5
-    # vol/s measured at batch 12 with 3 streams of 4 volumes; see
-    # extract_features_many docstring)
-    default_streams = "3" if batch >= 12 else ("2" if batch >= 6 else "1")
-    streams = int(os.environ.get("SIFT3D_BENCH_STREAMS", default_streams))
+    # download behind the other streams' device compute (15.3 -> 19.5+
+    # vol/s measured at batch 12; see extract_features_many docstring).
+    # 4-volume stacks measured best (12/3: 19.5, 16/4: 20.1, 20/5: 19.7
+    # vs 16/2: 15.4, 18/3: 17.0 with 6-8-volume stacks).
+    streams = int(os.environ.get("SIFT3D_BENCH_STREAMS", str(max(1, min(4, batch // 4)))))
     vols = [synthetic_t1(seed=7 + i) for i in range(batch)]
     # warmup (compilation)
     feats = extract_features_many(vols, DEFAULT_CONFIG, streams=streams)
@@ -184,11 +184,11 @@ def main() -> None:
         if attempt(1, n_runs=3, cap_s=420.0) == "ok":
             break
 
-    # Phase 2: climb. Batch 12 measured best in round 2; HBM headroom on the
-    # shared relay chip varies, so step down on OOM. Stop at first success —
-    # larger batch == higher vol/s on this pipeline (measured r1/r2).
-    start = int(os.environ.get("SIFT3D_BENCH_BATCH", "12"))
-    for batch in [b for b in (start, 8, 4) if 1 < b <= start]:
+    # Phase 2: climb. Batch 16 as 4 streams of 4 measured best in round 3;
+    # HBM headroom on the shared relay chip varies, so step down on OOM.
+    # Stop at first success — larger batch == higher vol/s (measured).
+    start = int(os.environ.get("SIFT3D_BENCH_BATCH", "16"))
+    for batch in [b for b in (start, 12, 8) if 1 < b <= start]:
         status = attempt(batch, n_runs=5, cap_s=300.0)
         if status in ("ok", "budget"):
             break

@@ -44,6 +44,7 @@ def extract_features_batch(
     initial_image_scale: float = 1.0,
     descriptor: str = "goh",
     reoriented: bool = True,
+    streams: int = 1,
 ) -> List[FeatureSet]:
     """Extract features from N volumes end-to-end over the mesh's devices.
 
@@ -78,10 +79,13 @@ def extract_features_batch(
 
     def run(group):
         di, ids = group
+        # streams > 1: each chip's pipeline additionally software-pipelines
+        # its volume group (extract_features_many docstring) — worthwhile
+        # on real chips, pure core contention on the simulated CPU mesh
         feats = extract_features_many(
             [vols[i] for i in ids], cfg,
             initial_image_scale=initial_image_scale, descriptor=descriptor,
-            reoriented=reoriented, device=devices[di],
+            reoriented=reoriented, device=devices[di], streams=streams,
         )
         return ids, feats
 
