@@ -44,7 +44,7 @@ def main() -> int:
     seeds = [int(s) for s in args.seeds.split(",")]
     deadline = time.monotonic() + args.budget_s
 
-    cells, failures = [], []
+    cells, failures, degenerate = [], [], []
     for d in dims:
         for flags, voxel in FLAG_SETS:
             for seed in seeds:
@@ -60,7 +60,9 @@ def main() -> int:
                     "--voxel", voxel, "--json", cell_json,
                 ]
                 if flags:
-                    cmd += ["--flags", flags]
+                    # equals form: argparse would otherwise parse "-2-"
+                    # as an option
+                    cmd += ["--flags=" + flags]
                 print(f"=== {label}", flush=True)
                 try:
                     r = subprocess.run(
@@ -79,6 +81,14 @@ def main() -> int:
                 with open(cell_json) as f:
                     cell = json.load(f)
                 os.unlink(cell_json)
+                if cell["ref_feats"] == 0:
+                    # degenerate fixture (e.g. 64^3 with -2-: the halved
+                    # volume has nothing detectable for EITHER side);
+                    # record separately — 0-vs-0 is agreement, but it
+                    # carries no ratio information
+                    degenerate.append(cell)
+                    print(f"    degenerate: ref 0 / ours {cell['our_feats']} feats", flush=True)
+                    continue
                 cells.append(cell)
                 print(
                     f"    ratio {cell['feature_count_ratio']}, repeat "
@@ -94,6 +104,7 @@ def main() -> int:
     summary = {
         "cells_run": len(cells),
         "cells_failed": len(failures),
+        "cells_degenerate": len(degenerate),
         "mean_feature_count_ratio": agg("feature_count_ratio"),
         "min_feature_count_ratio": (
             round(min(c["feature_count_ratio"] for c in cells), 4) if cells else None
@@ -105,7 +116,7 @@ def main() -> int:
         "mean_repeatability_ours_to_ref": agg("repeatability_ours_to_ref"),
         "mean_copy_count_agreement": agg("copy_count_agreement"),
     }
-    out = {"summary": summary, "cells": cells, "failures": failures}
+    out = {"summary": summary, "cells": cells, "degenerate": degenerate, "failures": failures}
     with open(args.out, "wt") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(summary))

@@ -44,7 +44,7 @@ def main() -> int:
             )
         return vol
 
-    vols = [blobs(s) for s in (1, 2, 3, 4)]  # counts [2, 8, 18, 7]
+    vols = [blobs(s) for s in (1, 2, 3, 4)]  # counts [2, 8, 19, 8]
     rng = np.random.default_rng(42)
 
     # 1. each process extracts its round-robin share on its local devices

@@ -169,3 +169,29 @@ def test_candidate_group_overflow_fallback(rng):
     assert len(f_big) == len(f_tiny)
     np.testing.assert_allclose(f_tiny.xyz, f_big.xyz, atol=1e-5)
     np.testing.assert_allclose(f_tiny.desc, f_big.desc, atol=1e-5)
+
+
+def test_extract_software_pipelined_streams_match(cfg):
+    """streams=N (generator lockstep, one host thread) must return
+    byte-identical features, in input order, as streams=1 — including a
+    stream whose volumes have mixed shapes."""
+    from sift3d.pipeline.extract import extract_features_many
+
+    rng = np.random.default_rng(17)
+    vols = []
+    for i in range(5):
+        v = _blob_volume(
+            blobs=(((15 + 2 * i, 22, 21), 2.3 + 0.25 * i, 1.0), ((27, 18, 29), 3.1, -0.8))
+        )
+        vols.append(v + 0.01 * rng.standard_normal(v.shape).astype(np.float32))
+    vols.append(_blob_volume(dims=(40, 44, 40), blobs=(((20, 22, 20), 3.0, 1.0),)))
+
+    want = extract_features_many(vols, cfg)
+    for streams in (2, 3):
+        got = extract_features_many(vols, cfg, streams=streams)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert len(g) == len(w)
+            np.testing.assert_allclose(g.xyz, w.xyz, rtol=1e-5, atol=1e-5)
+            np.testing.assert_array_equal(g.info, w.info)
+            np.testing.assert_array_equal(g.desc, w.desc)
