@@ -24,6 +24,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TZ = 2  # z-slab height per grid step (VMEM: slab + plane cache + out)
+_VMEM_BUDGET = 15.5 * 2**20  # scoped-vmem limit (16M) with safety margin
+
+
+def fused_extrema_tz(z: int, y: int, x: int):
+    """Largest z-slab height whose kernel fits scoped VMEM, or None.
+
+    Footprint model calibrated on the observed Mosaic allocation (16.69M
+    at tz=2, 256x256 planes): the Gaussian slab 6*(tz+2) padded planes,
+    double-buffered output blocks (5 f32 + 3 i8 rows per tz), and ~8.5
+    f32 working planes per tz of compiler-held intermediates. Volumes
+    whose planes are too large even at tz=1 (beyond ~320^2) return None
+    and the caller uses the unfused lax stencil — or, for genuinely
+    oversized volumes, the Z-sharded spatial pipeline (dist/spatial).
+    """
+    yq = -(-y // 8) * 8
+    xq = -(-x // 128) * 128
+    for tz in (_TZ, 1):
+        if z < tz + 2:
+            continue
+        est = 4 * yq * xq * (6 * (tz + 2) + 8.5 * tz) + 2 * tz * y * x * 23
+        if est <= _VMEM_BUDGET:
+            return tz
+    return None
 
 
 def _extrema_kernel(dogs_hbm, out_ref):
@@ -217,7 +240,7 @@ def _dogs_extrema_kernel(zmax_ref, gs_hbm, dogs_ref, mask_ref):
 
     pl.run_scoped(
         body,
-        slab=pltpu.VMEM((6, _TZ + 2, yp, xp), jnp.float32),
+        slab=pltpu.VMEM((6, tz + 2, yp, xp), jnp.float32),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 
@@ -243,9 +266,10 @@ def dogs_extrema_pallas(gstack: jnp.ndarray, interpret: bool = False):
     if not batched:
         gstack = gstack[None]
     bn, nl, z, y, x = gstack.shape
-    assert nl == 6 and z >= _TZ + 2
-    nz = pl.cdiv(z, _TZ)
-    zp = nz * _TZ
+    tz = fused_extrema_tz(z, y, x)
+    assert nl == 6 and tz is not None and z >= tz + 2
+    nz = pl.cdiv(z, tz)
+    zp = nz * tz
     # 1-plane z-halo + DMA-aligned y/x (a sliced HBM source must have
     # 8/128-aligned trailing dims); outputs stay UNPADDED — the kernel
     # slices the vector values before each store, so the old flow's
@@ -264,8 +288,8 @@ def dogs_extrema_pallas(gstack: jnp.ndarray, interpret: bool = False):
             grid=(bn, nz),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=(
-                pl.BlockSpec((5, _TZ, y, x), lambda b, i, *_: (b, i, 0, 0)),
-                pl.BlockSpec((3, _TZ, y, x), lambda b, i, *_: (b, i, 0, 0)),
+                pl.BlockSpec((5, tz, y, x), lambda b, i, *_: (b, i, 0, 0)),
+                pl.BlockSpec((3, tz, y, x), lambda b, i, *_: (b, i, 0, 0)),
             ),
         ),
         out_shape=(

@@ -77,13 +77,13 @@ def octave_core(base: jnp.ndarray, cfg: SiftConfig):
     gstack = jnp.stack(levels, axis=-4)  # level dim before Z, Y, X
     # fused Pallas DoG + extrema on TPU (one Gaussian-slab pass produces
     # both, ~6x the separate subtract + stencil flow); lax elsewhere
+    from sift3d.kernels.extrema_pallas import dogs_extrema_pallas, fused_extrema_tz
+
     if (
         jax.default_backend() == "tpu"
         and gstack.shape[-4] == 6
-        and gstack.shape[-3] >= 4
+        and fused_extrema_tz(*gstack.shape[-3:]) is not None
     ):
-        from sift3d.kernels.extrema_pallas import dogs_extrema_pallas
-
         dogs, mask = dogs_extrema_pallas(gstack)
     else:
         dogs = gstack[..., :-1, :, :, :] - gstack[..., 1:, :, :, :]

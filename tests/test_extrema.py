@@ -105,3 +105,26 @@ def test_pallas_dogs_extrema_matches_lax_interpret(rng):
         dogs, mask = dogs_extrema_pallas(jnp.asarray(g), interpret=True)
         np.testing.assert_array_equal(np.asarray(dogs), want_dogs)
         np.testing.assert_array_equal(np.asarray(mask), want_mask)
+
+
+def test_pallas_dogs_extrema_tz1_matches_lax_interpret(rng):
+    """tz=1 slab height (picked for plane sizes near the VMEM budget, e.g.
+    256^3 volumes) must stay bit-identical to the lax stencil."""
+    import scipy.ndimage as ndi
+
+    from sift3d.kernels import extrema_pallas as ep
+
+    assert ep.fused_extrema_tz(256, 256, 256) == 1
+    assert ep.fused_extrema_tz(384, 384, 384) is None
+
+    shape = (6, 3, 9, 17)  # z=3 -> fused_extrema_tz picks tz=1
+    assert ep.fused_extrema_tz(*shape[1:]) == 1
+    g = rng.standard_normal(shape).astype(np.float32)
+    g = np.stack(
+        [ndi.gaussian_filter(x, 1.5) for x in g]
+    ).astype(np.float32)
+    want_dogs = g[:-1] - g[1:]
+    want_mask = np.asarray(extrema.extrema_mask(jnp.asarray(want_dogs)))
+    dogs, mask = ep.dogs_extrema_pallas(jnp.asarray(g), interpret=True)
+    np.testing.assert_array_equal(np.asarray(dogs), want_dogs)
+    np.testing.assert_array_equal(np.asarray(mask), want_mask)
