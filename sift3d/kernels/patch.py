@@ -305,18 +305,22 @@ def sample_patches_identity_slab(
     scales: jnp.ndarray,  # [R]
     count: jnp.ndarray | None = None,  # live-row PREFIX; rows >= count skipped
     interpret: bool = False,
+    logical_dims=None,
 ) -> jnp.ndarray:
     """TPU identity-patch sampler with in-kernel slab DMA (see
     _id_slab_kernel). Same contract and f32 numerics model as
     sample_patches_identity_boxed. Requires zd >= 40, yd >= 40, xd >= 64
-    (gather_stage falls back to the boxed sampler on tiny octaves)."""
-    nl, zd, yd, xd = gstack.shape
+    (gather_stage falls back to the boxed sampler on tiny octaves).
+
+    logical_dims: (zd, yd, xd) when gstack is ALREADY in the slab-DMA
+    layout (y padded +8, x to a 128 multiple — pad_gstack_slab); the
+    ~35 ms-per-octave-batch pad copy is then skipped. Without it the
+    sampler pads internally."""
+    gs_p, (zd, yd, xd), padded = _slab_input(gstack, logical_dims)
     box = _BOX
     bz, by_dma = box, box + 8
-    xp = -(-xd // 128) * 128
+    xp = gs_p.shape[-1]
     r = centers.shape[0]
-
-    gs_p = jnp.pad(gstack, ((0, 0), (0, 0), (0, 8), (0, xp - xd)))
 
     z0 = jnp.clip(jnp.floor(centers[:, 2]).astype(jnp.int32) - bz // 2, 0, zd - bz)
     y0 = jnp.clip(jnp.floor(centers[:, 1]).astype(jnp.int32) - box // 2, 0, yd - box)
@@ -378,19 +382,57 @@ def sample_patches_identity_slab(
     return vals.reshape(r, PATCH_DIM, PATCH_DIM, 16)[..., :PATCH_DIM]
 
 
-def _id_slab_ok(gstack) -> bool:
-    nl, zd, yd, xd = gstack.shape
+def pad_gstack_slab(gstack: jnp.ndarray) -> jnp.ndarray:
+    """Pad a [..., Z, Y, X] Gaussian stack into the slab-DMA layout the
+    identity and rotated samplers require: +8 y apron (the provably
+    8-aligned slab origin can round down up to 7 rows), x to the
+    128-lane tile. Producers (extract._phase1_program on TPU) pay this
+    copy ONCE; both samplers then take `logical_dims` and skip their
+    internal pads (~35 ms per o0 batch-12 program each)."""
+    xd = gstack.shape[-1]
+    xp = -(-xd // 128) * 128
+    pad = [(0, 0)] * (gstack.ndim - 2) + [(0, 8), (0, xp - xd)]
+    return jnp.pad(gstack, pad)
+
+
+def _slab_input(gstack, logical_dims):
+    """Resolve (padded stack, logical dims, was_prepadded) for a slab
+    sampler: with logical_dims the input must already be in
+    pad_gstack_slab layout; otherwise pad here."""
+    if logical_dims is not None:
+        zd, yd, xd = logical_dims
+        assert gstack.shape[-2] == yd + 8 and gstack.shape[-1] % 128 == 0, (
+            gstack.shape, logical_dims,
+        )
+        return gstack, (zd, yd, xd), True
+    zd, yd, xd = gstack.shape[-3:]
+    return pad_gstack_slab(gstack), (zd, yd, xd), False
+
+
+def unpad_gstack_slab(gstack, logical_dims):
+    """Slice a pad_gstack_slab-layout stack back to its logical extent
+    (for the boxed/XLA fallback paths, which index the true volume)."""
+    if logical_dims is None:
+        return gstack
+    zd, yd, xd = logical_dims
+    return gstack[..., :zd, :yd, :xd]
+
+
+def _id_slab_ok(dims) -> bool:
+    zd, yd, xd = dims
     return zd >= _BOX and yd >= _BOX and xd >= _XWIN
 
 
-def sample_patches_identity(gstack, lvl, centers, scales, count=None):
+def sample_patches_identity(gstack, lvl, centers, scales, count=None, logical_dims=None):
     """Identity-patch sampling: slab-DMA Pallas kernel on TPU (boxed XLA
     slices where the slab does not fit or off-TPU).
 
     `count`, when given, must be the length of a PREFIX of live rows:
     the TPU kernel skips rows >= count entirely and leaves their output
     uninitialized (the extract pipeline pads candidate chunks at the
-    tail, so valid rows always form a prefix)."""
+    tail, so valid rows always form a prefix).
+
+    logical_dims: see sample_patches_identity_slab (pre-padded input)."""
     import os
 
     # default on TPU: validated bit-exact vs the boxed sampler on real
@@ -399,15 +441,18 @@ def sample_patches_identity(gstack, lvl, centers, scales, count=None):
     # it became the phase-2a critical path once the row-compaction
     # rewrite removed the mask-nonzero bottleneck. SIFT3D_NO_SLAB_IDENTITY
     # reverts to the boxed XLA path.
+    dims = logical_dims if logical_dims is not None else gstack.shape[-3:]
     if (
         jax.default_backend() == "tpu"
-        and _id_slab_ok(gstack)
+        and _id_slab_ok(dims)
         and not os.environ.get("SIFT3D_NO_SLAB_IDENTITY")
     ):
         return sample_patches_identity_slab(
-            gstack, lvl, centers, scales, count=count
+            gstack, lvl, centers, scales, count=count, logical_dims=logical_dims
         )
-    return sample_patches_identity_boxed(gstack, lvl, centers, scales)
+    return sample_patches_identity_boxed(
+        unpad_gstack_slab(gstack, logical_dims), lvl, centers, scales
+    )
 
 
 _RBOX = 64  # rotated-patch box (covers sqrt(3) * max patch extent)
@@ -757,6 +802,7 @@ def sample_patches_rotated_slab(
     count: jnp.ndarray | None = None,  # live-row PREFIX; rows >= count skipped
     interpret: bool = False,
     xwin: int = _XWIN,
+    logical_dims=None,
 ) -> jnp.ndarray:
     """TPU rotated patch sampler with in-kernel slab DMA (see
     _rot_slab_kernel). Same contract and numerics model as
@@ -764,13 +810,14 @@ def sample_patches_rotated_slab(
     xd >= xwin, box <= 48 (VMEM bound; see _slab_ok) — the emit path
     falls back to the boxed-slice kernel otherwise. The 8-aligned y
     origin may reach up to 8 rows past yd, covered by the zero apron
-    padded here. xwin (64 or 32) bounds the x extent a row may reach
-    (rbox_max_scale of min(box, xwin)); 32 packs 4 y rows per lane group
-    and roughly halves the kernel's per-row cost vs 64."""
-    nl, zd, yd, xd = gstack.shape
+    (padded here, or already present when logical_dims marks the input
+    as pad_gstack_slab layout). xwin (64 or 32) bounds the x extent a
+    row may reach (rbox_max_scale of min(box, xwin)); 32 packs 4 y rows
+    per lane group and roughly halves the kernel's per-row cost vs 64."""
+    gs_p, (zd, yd, xd), _ = _slab_input(gstack, logical_dims)
     bz, by_dma = box, box + 8
     assert xwin in (32, 64) and by_dma % (128 // xwin) == 0, (box, xwin)
-    xp = -(-xd // 128) * 128
+    xp = gs_p.shape[-1]
     r = centers.shape[0]
 
     grid_pts = jnp.asarray(_GRID)  # [V, 3] (x, y, z)
@@ -779,10 +826,9 @@ def sample_patches_rotated_slab(
     fac = (2.0 * scales / float(PATCH_RAD))[:, None, None]
     coords = rotated * fac + centers[:, None, :]  # [R, V, 3] global (x, y, z)
 
-    # +8 y apron: the 8-aligned slab origin can push the DMA up to 8 rows
-    # past yd; x pads to the 128-lane tile (Mosaic cannot slice lanes)
-    gs_p = jnp.pad(gstack, ((0, 0), (0, 0), (0, 8), (0, xp - xd)))
-
+    # gs_p carries the +8 y apron (the 8-aligned slab origin can push the
+    # DMA up to 8 rows past yd) and the 128-lane x tile — padded by
+    # _slab_input above unless the caller passed pad_gstack_slab layout
     z0 = jnp.clip(jnp.floor(centers[:, 2]).astype(jnp.int32) - bz // 2, 0, zd - bz)
     y0 = jnp.clip(jnp.floor(centers[:, 1]).astype(jnp.int32) - box // 2, 0, yd - box)
     # provably 8-aligned slab origin: rounding down costs <= 7 rows, the
@@ -841,30 +887,38 @@ def sample_patches_rotated_slab(
     return vals.reshape(r, PATCH_DIM, PATCH_DIM, PATCH_DIM)
 
 
-def _slab_ok(gstack, box: int, xwin: int = _XWIN) -> bool:
-    nl, zd, yd, xd = gstack.shape
+def _slab_ok(dims, box: int, xwin: int = _XWIN) -> bool:
+    zd, yd, xd = dims
     return box <= 48 and zd >= box and yd >= box and xd >= xwin
 
 
 def sample_patches_rotated(
-    gstack, lvl, centers, scales, oris, box=_RBOX, count=None, xwin=_XWIN
+    gstack, lvl, centers, scales, oris, box=_RBOX, count=None, xwin=_XWIN,
+    logical_dims=None,
 ):
     """Rotated-patch sampling: slab-DMA Pallas kernel on TPU (boxed-slice
     Pallas kernel where the slab does not fit), boxed XLA contraction
-    elsewhere (or with SIFT3D_NO_PALLAS_ROTATED=1)."""
+    elsewhere (or with SIFT3D_NO_PALLAS_ROTATED=1).
+
+    logical_dims: see sample_patches_rotated_slab (pre-padded input)."""
     import os
 
+    dims = logical_dims if logical_dims is not None else gstack.shape[-3:]
     if jax.default_backend() == "tpu" and not os.environ.get(
         "SIFT3D_NO_PALLAS_ROTATED"
     ):
-        if _slab_ok(gstack, box, xwin) and not os.environ.get("SIFT3D_NO_SLAB_ROTATED"):
+        if _slab_ok(dims, box, xwin) and not os.environ.get("SIFT3D_NO_SLAB_ROTATED"):
             return sample_patches_rotated_slab(
-                gstack, lvl, centers, scales, oris, box=box, count=count, xwin=xwin
+                gstack, lvl, centers, scales, oris, box=box, count=count,
+                xwin=xwin, logical_dims=logical_dims,
             )
         return sample_patches_rotated_pallas(
-            gstack, lvl, centers, scales, oris, box=box
+            unpad_gstack_slab(gstack, logical_dims), lvl, centers, scales, oris,
+            box=box,
         )
-    return sample_patches_rotated_boxed(gstack, lvl, centers, scales, oris, box=box)
+    return sample_patches_rotated_boxed(
+        unpad_gstack_slab(gstack, logical_dims), lvl, centers, scales, oris, box=box
+    )
 
 
 def normalize_patches(patches: jnp.ndarray) -> jnp.ndarray:

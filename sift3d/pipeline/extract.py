@@ -129,6 +129,18 @@ def _phase1_program(stack, cfg, n_oct: int, sizes, initial_image_scale: float,
     counts = []
     for octave in range(n_oct):
         gstack, dogs, mask, next_base = pyramid.octave_core(base, cfg)
+        import os as _os
+
+        if jax.default_backend() == "tpu" and _os.environ.get("SIFT3D_PREPAD"):
+            # OPT-IN (measured NEGATIVE on the relay v5e, kept for other
+            # hardware): materialize the stack once in the slab-DMA layout
+            # so phases 2a/2c skip their internal pads via logical_dims.
+            # Standalone the pads cost ~35 ms each at o0 batch-12, but
+            # in-program they are evidently elided/overlapped: A/B showed
+            # 2a/2c unchanged and phase1 +31 ms (PERFORMANCE.md round 3).
+            from sift3d.kernels.patch import pad_gstack_slab
+
+            gstack = pad_gstack_slab(gstack)
         gidx, blocks, gc, cc = jax.vmap(
             lambda m, s=sizes[octave]: _compact_mask_one(m, s)
         )(mask)
@@ -304,10 +316,12 @@ def _phase2b_program(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("layout", "cfg", "descriptor", "reoriented", "out_cap")
+    jax.jit,
+    static_argnames=("layout", "cfg", "descriptor", "reoriented", "out_cap", "gdims"),
 )
 def _phase2c_program(
-    gstacks, sel, layout, cfg, descriptor: str, reoriented: bool, out_cap: int
+    gstacks, sel, layout, cfg, descriptor: str, reoriented: bool, out_cap: int,
+    gdims=None,
 ):
     """Row packing + descriptors for all chunks in one program: unoriented
     rows reuse the gather-stage patches; reoriented rows resample rotated
@@ -343,6 +357,7 @@ def _phase2c_program(
                 gstacks[res_i], sel["cand"][sl], sel["xyz"][sl], sel["scale"][sl],
                 sel["kvalid"][sl], sel["eigs"][sl], sel["ori"][sl], sel["ori_valid"][sl],
                 cfg, cap_b, bucket,
+                g_dims=None if gdims is None else gdims[res_i],
             )
             packed.append(packed_b)
             descs.append(fstage.descriptor_stage(patches_b, descriptor).astype(jnp.uint8))
@@ -540,6 +555,7 @@ def _extract_gen(
     # initial blur, all octaves' blur/DoG/extrema, and candidate
     # compaction (see _phase1_program)
     octave_results = []  # entries: (vol_ids, octave, res-dict, size)
+    oct_dims = []  # logical (z, y, x) per octave_result (gstack may be padded)
     gcount_list = []
     cc_dev = []  # per octave_result: [B] DEVICE exact candidate counts
     cand_cap = 8 * cfg.max_candidates_per_level
@@ -547,11 +563,11 @@ def _extract_gen(
         stack = jnp.stack([arrs[i] for i in vol_ids])
         n_oct = pyramid.num_octaves(shape, cfg)
         sizes = []
+        dims = []
         dz, dy, dx = shape
-        xds = []
         for octave in range(n_oct):
             sizes.append(min(cand_cap, 3 * dz * dy))  # X-row groups
-            xds.append(dx)
+            dims.append((dz, dy, dx))
             dz, dy, dx = dz // 2, dy // 2, dx // 2
         if n_oct == 0:
             continue
@@ -561,6 +577,7 @@ def _extract_gen(
             ))
         for octave, o in enumerate(outs):
             octave_results.append((vol_ids, octave, o, sizes[octave]))
+            oct_dims.append(dims[octave])
             cc_dev.append(counts[octave, :, 1])
         gcount_list.append(counts)
 
@@ -795,8 +812,12 @@ def _extract_gen(
                 p_off += n_b
     out_cap = _bucket_fine(p_off)
     with timer.stage("phase2c"):
+        # gdims: logical octave dims when the gstacks carry the slab-DMA
+        # padding (TPU phase-1 layout); None when unpadded (CPU)
+        padded = gstacks[0].shape[-2] != oct_dims[0][1]
         rows_all = _sync(_phase2c_program(
-            gstacks, sel, tuple(layout_c), cfg, descriptor, reoriented, out_cap
+            gstacks, sel, tuple(layout_c), cfg, descriptor, reoriented, out_cap,
+            gdims=tuple(oct_dims) if padded else None,
         ))
     yield  # stream switch point: the download blocks on phase 2c
     with timer.stage("download"):

@@ -398,8 +398,14 @@ def gather_stage_union(gstacks, dogs, vi, lvl, zyx, valid, sigmas: Tuple[float, 
     xyz_g = xyz
     if gz_shift:
         xyz_g = xyz + jnp.asarray([0.0, 0.0, float(gz_shift)], jnp.float32)
+    # pre-padded slab layout detection: an unpadded gstack shares y/x with
+    # dogs (same octave); pad_gstack_slab layout has y == yd + 8 exactly
+    g_logical = None
+    if gstacks.shape[-2] == yd + 8 and gstacks.shape[-1] % 128 == 0:
+        g_logical = (gstacks.shape[-3], yd, xd)
     patches = sample_patches_identity(
-        gstackf, vi * ngl + lvl, xyz_g, scale, count=valid.sum()
+        gstackf, vi * ngl + lvl, xyz_g, scale, count=valid.sum(),
+        logical_dims=g_logical,
     )
 
     return xyz, scale, keep, patches
@@ -739,12 +745,12 @@ def pack_unoriented_stage(kvalid, cand, xyz, scale, eigs, eig_ori, cfg: SiftConf
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "emit_cap", "scale_bucket", "gz_shift")
+    jax.jit, static_argnames=("cfg", "emit_cap", "scale_bucket", "gz_shift", "g_dims")
 )
 def emit_reoriented_stage(
     gstacks, cand, xyz, scale, kvalid, eigs, ori, ori_valid,
     cfg: SiftConfig, emit_cap: int, scale_bucket: str = "all",
-    gz_shift: int = 0,
+    gz_shift: int = 0, g_dims=None,
 ):
     """Device-compacted reoriented rows + their freshly resampled patches.
 
@@ -809,7 +815,7 @@ def emit_reoriented_stage(
         row_xyz_g = row_xyz + jnp.asarray([0.0, 0.0, float(gz_shift)], jnp.float32)
     patches = sample_patches_rotated(
         gstackf, row_vi * ngl + row_lvl, row_xyz_g, row_scale, row_ori, box=box,
-        count=count, xwin=xwin,
+        count=count, xwin=xwin, logical_dims=g_dims,
     )
     packed = _pack_rows(key, row_vi, row_xyz, row_scale, row_eigs, row_ori, row_info)
     packed = jnp.where(row_valid[:, None], packed, -1.0)

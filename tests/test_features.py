@@ -433,3 +433,61 @@ def test_slab_rotated_sampler_tiny_bucket(rng):
     )
     scale = np.abs(ref).max()
     assert np.abs(ref - got).max() < 2e-2 * scale
+
+
+def test_slab_samplers_prepadded_input_match(rng):
+    """pad_gstack_slab + logical_dims must reproduce the internally-padded
+    samplers bit-for-bit (identity and rotated, interpret mode)."""
+    from sift3d.kernels.patch import (
+        pad_gstack_slab,
+        sample_patches_identity_slab,
+        sample_patches_rotated_slab,
+    )
+
+    L, Z, Y, X = 2, 48, 52, 70
+    gstack = jnp.asarray(
+        rng.standard_normal((L, Z, Y, X)).astype(np.float32) * 50 + 150
+    )
+    gp = pad_gstack_slab(gstack)
+    assert gp.shape == (L, Z, Y + 8, 128)
+    R = 8
+    lvl = jnp.asarray(rng.integers(0, L, R).astype(np.int32))
+    centers = jnp.asarray(
+        np.stack(
+            [rng.uniform(3, X - 3, R), rng.uniform(3, Y - 3, R), rng.uniform(3, Z - 3, R)],
+            axis=1,
+        ).astype(np.float32)
+    )
+    scales = jnp.asarray(rng.uniform(2.0, 4.0, R).astype(np.float32))
+
+    want = np.asarray(sample_patches_identity_slab(gstack, lvl, centers, scales, interpret=True))
+    got = np.asarray(
+        sample_patches_identity_slab(
+            gp, lvl, centers, scales, interpret=True, logical_dims=(Z, Y, X)
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+    q = rng.standard_normal((R, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    w, xq, yq, zq = q.T
+    oris = jnp.asarray(
+        np.stack(
+            [
+                1 - 2 * (yq * yq + zq * zq), 2 * (xq * yq - w * zq), 2 * (xq * zq + w * yq),
+                2 * (xq * yq + w * zq), 1 - 2 * (xq * xq + zq * zq), 2 * (yq * zq - w * xq),
+                2 * (xq * zq - w * yq), 2 * (yq * zq + w * xq), 1 - 2 * (xq * xq + yq * yq),
+            ],
+            axis=1,
+        ).reshape(R, 3, 3).astype(np.float32)
+    )
+    want_r = np.asarray(
+        sample_patches_rotated_slab(gstack, lvl, centers, scales, oris, box=48, interpret=True)
+    )
+    got_r = np.asarray(
+        sample_patches_rotated_slab(
+            gp, lvl, centers, scales, oris, box=48, interpret=True,
+            logical_dims=(Z, Y, X),
+        )
+    )
+    np.testing.assert_array_equal(got_r, want_r)
