@@ -58,6 +58,12 @@ def knn_search_tiled(queries, db, k: int, tile: int = 4096):
     q = np.asarray(queries, dtype=np.float32)
     dbn = np.asarray(db, dtype=np.float32)
     n = dbn.shape[0]
+    if q.shape[0] == 0 or n == 0 or k == 0:
+        # empty query/database (e.g. featureless images): no matches
+        return (
+            np.zeros((q.shape[0], k), np.float32),
+            np.zeros((q.shape[0], k), np.int64),
+        )
     assert k <= n, "k exceeds database size"
     np_pad = _pow2_bucket(n)
     if np_pad != n:

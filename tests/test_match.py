@@ -208,3 +208,14 @@ def test_group_matcher_sharded_matches_unsharded(rng):
     np.testing.assert_allclose(got.votes, want.votes, rtol=1e-6, atol=1e-9)
     np.testing.assert_array_equal(got.counts, want.counts)
     np.testing.assert_allclose(got.log_likelihood, want.log_likelihood, rtol=1e-6, atol=1e-9)
+
+
+def test_group_matcher_empty_sets(rng):
+    """Featureless images (e.g. flat volumes) must produce zero votes, not
+    crash the kNN tiling."""
+    sets = [FeatureSet.empty(0), _random_feats(5, rng), FeatureSet.empty(0)]
+    res = groupvote.GroupMatcher(sets).match_all_to_all()
+    assert res.votes.shape == (3, 3)
+    assert res.counts.sum() == 0
+    res2 = groupvote.GroupMatcher([FeatureSet.empty(0), FeatureSet.empty(0)]).match_all_to_all()
+    assert res2.votes.sum() == 0
