@@ -16,7 +16,6 @@ scale (itself 2x the interpolated sigma).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Optional
 

@@ -39,7 +39,6 @@ import jax.numpy as jnp
 
 from sift3d.core.config import SiftConfig
 from sift3d.kernels import descriptor as desc_kernels
-from sift3d.kernels import gauss
 from sift3d.kernels.extrema import quadratic_interp_1d
 from sift3d.kernels.patch import (
     PATCH_DIM,
