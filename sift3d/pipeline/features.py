@@ -584,7 +584,12 @@ def canonical_stage(pn, cfg: SiftConfig, kvalid=None):
         itp = _interp_hist_peaks(hist, pz, py, px)
         return v, pkv, itp
 
-    # primary histogram: splat at e*rad + rad (+0.5) (MultiScale.cpp:2805-2816)
+    # primary histogram: splat at e*rad + rad (+0.5) (MultiScale.cpp:2805-2816).
+    # Runs at full chunk capacity even though only ~45% of rows survive:
+    # compacting live rows to a count-gated prefix (like the secondary
+    # stage) was measured at only ~5 ms of the 121 ms phase-2b — within
+    # relay noise — while the gather re-fusion cost 1-2 ulp of bit
+    # stability, so it was reverted (round-3 A/B, PERFORMANCE.md).
     v1, pk1, itp1 = hist_tops(
         e3[:, 0] * rad + rad + 0.5,
         e3[:, 1] * rad + rad + 0.5,
