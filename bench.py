@@ -144,10 +144,12 @@ def main() -> None:
     budget = float(os.environ.get("SIFT3D_BENCH_BUDGET_S", "540"))
     deadline = time.monotonic() + budget
     best_vps = -1.0
+    best_obj = None
+    attempt_vps = []  # every successful attempt's value (all batch sizes)
 
     def attempt(batch: int, n_runs: int, cap_s: float) -> str:
         """Run one batch in a subprocess. Returns 'ok'/'oom'/'fail'/'budget'."""
-        nonlocal best_vps
+        nonlocal best_vps, best_obj
         remaining = deadline - time.monotonic()
         if remaining < 30.0:
             return "budget"
@@ -167,9 +169,12 @@ def main() -> None:
             (ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')), None
         )
         if proc.returncode == 0 and line:
-            vps = json.loads(line)["value"]
+            obj = json.loads(line)
+            vps = obj["value"]
+            attempt_vps.append(vps)
             if vps > best_vps:
                 best_vps = vps
+                best_obj = obj
                 print(line, flush=True)  # driver reads the LAST line
             return "ok"
         sys.stderr.write(proc.stderr[-4000:])
@@ -189,7 +194,10 @@ def main() -> None:
     # Stop at first success — larger batch == higher vol/s (measured).
     start = int(os.environ.get("SIFT3D_BENCH_BATCH", "16"))
     won = None
-    for batch in [b for b in (start, 12, 8) if 1 < b <= start]:
+    # full step-down ladder: on a tight-HBM day 16/12/8 can all OOM while
+    # 4 (known to fit in round 2) still yields a far better line than the
+    # batch-1 fallback; the budget guard bounds total time (ADVICE r3)
+    for batch in [b for b in (start, 12, 8, 4, 2) if 1 < b <= start]:
         status = attempt(batch, n_runs=5, cap_s=300.0)
         if status == "ok":
             won = batch
@@ -207,6 +215,15 @@ def main() -> None:
 
     if best_vps < 0:
         raise SystemExit("bench failed to produce any number (see stderr)")
+
+    # final line = best attempt + the median across ALL successful
+    # attempts: `value` stays the best (driver compatibility), while
+    # `median_value` makes round-over-round deltas interpretable under a
+    # relay whose throughput swings +-2x on minute timescales (the best
+    # is the optimistic tail of up to ~5 retries; VERDICT r3 weak #5)
+    best_obj["median_value"] = round(float(np.median(attempt_vps)), 4)
+    best_obj["n_attempts"] = len(attempt_vps)
+    print(json.dumps(best_obj), flush=True)
 
 
 if __name__ == "__main__":

@@ -34,19 +34,29 @@ FLAG_SETS = [
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="PARITY_r03.json")
-    ap.add_argument("--dims", default="64,96,128")
+    ap.add_argument("--dims", default="64,96,128",
+                    help="comma list; each entry an int (cube) or ZxYxX "
+                         "triple (e.g. 182x218x182 — the full-bench-size "
+                         "cells, VERDICT r3 #2)")
     ap.add_argument("--seeds", default="3,11,19")
+    ap.add_argument("--flag-sets", default=None,
+                    help="restrict flag sets, semicolon-separated (e.g. "
+                         "';-w' for default + world); default: all four")
     ap.add_argument("--budget-s", type=float, default=5400.0)
     ap.add_argument("--cell-timeout", type=float, default=1200.0)
     args = ap.parse_args()
 
-    dims = [int(d) for d in args.dims.split(",")]
+    dims = [d if "x" in d else int(d) for d in args.dims.split(",")]
     seeds = [int(s) for s in args.seeds.split(",")]
+    flag_sets = FLAG_SETS
+    if args.flag_sets is not None:
+        wanted = args.flag_sets.split(";")
+        flag_sets = [fs for fs in FLAG_SETS if fs[0] in wanted]
     deadline = time.monotonic() + args.budget_s
 
     cells, failures, degenerate = [], [], []
     for d in dims:
-        for flags, voxel in FLAG_SETS:
+        for flags, voxel in flag_sets:
             for seed in seeds:
                 label = f"dims={d} flags='{flags}' seed={seed}"
                 remaining = deadline - time.monotonic()

@@ -37,20 +37,39 @@ REF_BIN_SRC = (
 
 
 def synthetic_volume(dims=64, seed=3):
+    """dims: int (cube) or (z, y, x) triple — the full-bench-size parity
+    cells (VERDICT r3 #2) run the exact 182x218x182 MNI T1 grid and a
+    non-pow-2 ~250^3 grid, matching what bench.py and the README measure."""
+    if isinstance(dims, int):
+        dims = (dims, dims, dims)
+    dz, dy, dx = dims
     rng = np.random.default_rng(seed)
-    z, y, x = np.mgrid[0:dims, 0:dims, 0:dims].astype(np.float32)
-    vol = np.zeros((dims, dims, dims), np.float32)
-    c = dims / 2
-    r2 = ((z - c) ** 2 + (y - c) ** 2 + (x - c) ** 2) / (0.45 * dims) ** 2
+    z, y, x = np.mgrid[0:dz, 0:dy, 0:dx].astype(np.float32)
+    vol = np.zeros(dims, np.float32)
+    c = np.asarray(dims, np.float32) / 2
+    r2 = (
+        ((z - c[0]) / (0.45 * dz)) ** 2
+        + ((y - c[1]) / (0.45 * dy)) ** 2
+        + ((x - c[2]) / (0.45 * dx)) ** 2
+    )
     vol += 300.0 * np.exp(-2.0 * r2)
-    for _ in range(max(6, dims // 4)):
-        bc = rng.uniform(0.2, 0.8, 3) * dims
+    mean_dim = sum(dims) / 3.0
+    for _ in range(max(6, int(mean_dim) // 4)):
+        bc = rng.uniform(0.2, 0.8, 3) * np.asarray(dims)
         # blob size tracks volume size so halving (-2-) stays detectable
-        s = rng.uniform(2.0, 5.0) * max(1.0, dims / 64.0)
+        s = rng.uniform(2.0, 5.0) * max(1.0, mean_dim / 64.0)
         a = rng.uniform(-150, 250)
         m2 = (z - bc[0]) ** 2 + (y - bc[1]) ** 2 + (x - bc[2]) ** 2
         vol += a * np.exp(-m2 / (2 * s * s))
     return vol.astype(np.float32)
+
+
+def parse_dims(s: str):
+    """'64' -> 64; '182x218x182' -> (182, 218, 182) (z, y, x)."""
+    if "x" in s:
+        z, y, x = (int(v) for v in s.split("x"))
+        return (z, y, x)
+    return int(s)
 
 
 def run_reference(ref_bin, vol_path, out_path, flags=()):
@@ -76,7 +95,8 @@ def repeatability(a, b, tol=2.0, scale_ratio=2 ** (1.0 / 3.0)):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dims", type=int, default=64)
+    ap.add_argument("--dims", type=parse_dims, default=64,
+                    help="cube edge (64) or ZxYxX triple (182x218x182)")
     ap.add_argument("--ref", default=None)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument(

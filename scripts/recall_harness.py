@@ -139,6 +139,8 @@ def extract_reference(vols, tmp):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dims", type=int, default=96)
+    ap.add_argument("--seed", type=int, default=11,
+                    help="volume seed (the multi-seed sweep, VERDICT r3 #3)")
     ap.add_argument("--angle", type=float, default=10.0)
     ap.add_argument("--scale", type=float, default=1.1)
     ap.add_argument("--trans", type=float, default=3.0)
@@ -163,15 +165,15 @@ def main():
     scale = args.scale
     trans = np.array([args.trans, -args.trans / 2, args.trans / 3])
 
-    v1 = make_volume(args.dims)
+    v1 = make_volume(args.dims, seed=args.seed)
     v2 = warp_volume(v1, rot, scale, trans)
     f1, f2 = extract_features_many([v1, v2], DEFAULT_CONFIG)
     f1 = f1.apply_eig_threshold(140.0).remove_non_reoriented()
     f2 = f2.apply_eig_threshold(140.0).remove_non_reoriented()
 
     results = {
-        "dims": args.dims, "angle_deg": args.angle, "scale": scale,
-        "trans": list(trans),
+        "dims": args.dims, "seed": args.seed, "angle_deg": args.angle,
+        "scale": scale, "trans": list(trans),
         "ours_vs_ours": score_pair(f1, f2, v1.shape, rot, scale, trans, "ours-vs-ours"),
     }
 

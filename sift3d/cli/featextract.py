@@ -129,10 +129,13 @@ def main(argv=None) -> int:
 
     if debug_pgm:
         # mid-stack XY slice dump, the reference's eyeball check
-        # (MultiScale.cpp:305-313 'image.pgm')
-        from sift3d.utils.pgm import write_volume_slice
+        # (MultiScale.cpp:305-313 'image.pgm'), plus per-octave G1 blur
+        # slices as image_o{N}.pgm (MultiScale.cpp:374-384 — the
+        # reference overwrites the same file; we keep every octave)
+        from sift3d.utils.pgm import write_pyramid_slices, write_volume_slice
 
         write_volume_slice("image.pgm", np.asarray(data))
+        write_pyramid_slices(data, DEFAULT_CONFIG, initial_scale)
 
     timer = StageTimer(enabled=True)
     if spatial_devices is not None:

@@ -159,6 +159,14 @@ def main(argv=None) -> int:
             return -1
         i += 1
 
+    if shard_match and not all_to_all:
+        # sharding applies to the group-vote kNN sweep only; say so
+        # instead of silently running the pairwise path unsharded
+        print(
+            "Warning: --shard-match only affects --all-to-all group "
+            "matching; pairwise matching runs unsharded."
+        )
+
     names = read_lines(file_list) if file_list else argv[i:]
     labels = list(range(len(names)))
 
@@ -205,6 +213,9 @@ def main(argv=None) -> int:
         match_all_to_one(names, split_sets[1], report, cfg, refine)
 
     if all_to_all:
+        # empty per-match debug log, created when the search structure is
+        # built in the reference (featMatchUtilities.cpp:1561)
+        groupvote.touch_report_all()
         mesh = None
         if shard_match:
             from sift3d.dist.mesh import make_mesh

@@ -118,11 +118,22 @@ def gather_featuresets(
     out: List[FeatureSet] = []
     for i, fs in enumerate(partial_sets):
         table = _pack(fs) if fs is not None else np.zeros((0, 84), np.float32)
-        # fixed-rank exchange: first agree on the row count, then pad
-        n = np.asarray([table.shape[0]], np.int32)
-        counts = multihost_utils.process_allgather(n)  # [P, 1]
-        n_max = int(counts.max())
-        owner = int(np.argmax(counts[:, 0]))
+        # fixed-rank exchange: first agree on (row count, ownership flag),
+        # then pad. The owner is the process whose entry is non-None —
+        # exactly one per volume under the extract_features_multihost
+        # protocol; anything else is a caller bug, detected here rather
+        # than silently resolved by row count (which would discard the
+        # smaller of two conflicting sets).
+        n = np.asarray([table.shape[0], int(fs is not None)], np.int32)
+        counts = multihost_utils.process_allgather(n)  # [P, 2]
+        owners = np.nonzero(counts[:, 1])[0]
+        if owners.size != 1:
+            raise ValueError(
+                f"volume {i}: expected exactly one owning process, got "
+                f"{owners.size} (ownership flags {counts[:, 1].tolist()})"
+            )
+        owner = int(owners[0])
+        n_max = int(counts[:, 0].max())
         padded = np.zeros((n_max, 84), np.float32)
         padded[: table.shape[0]] = table
         gathered = multihost_utils.process_allgather(padded)  # [P, n_max, 84]

@@ -390,10 +390,11 @@ def _extract_octave_spatial(oct_res: ShardedOctave, mesh: Mesh, cfg: SiftConfig,
     s_tot = cfg.max_primary_orientations * cfg.max_secondary_orientations
     if reoriented and int(reor.max()) > 0:
         # hard bound: min(K1*K2, max_orientations) rows per candidate, so
-        # the exact-count bucket can never truncate
-        cap_r = _bucket(
-            int(reor.max()), cap * max(1, min(s_tot, cfg.max_orientations))
-        )
+        # the exact-count bucket can never truncate; the rotated samplers
+        # row-chunk at 256 (patch.py rc), so round the bound up to a 256
+        # multiple exactly as extract.py does for its cap_limit
+        bound = cap * max(1, min(s_tot, cfg.max_orientations))
+        cap_r = _bucket(int(reor.max()), -(-bound // 256) * 256)
         cnt_re, packed_re, desc_re = jax.device_get(
             _feature_phase_b(
                 oct_res.gstack, cand_sh, a, mesh, cfg, cap_r, tz, true_z, halo,

@@ -99,7 +99,16 @@ def _banded_matrix(dim: int, sigma: float, min_value: float) -> np.ndarray:
 # breaks parity with the f32 reference. HIGH (bf16x3, ~1e-6 relative) is
 # indistinguishable from the reference in keypoint repeatability and
 # descriptor tests while halving MXU passes vs HIGHEST.
-_BLUR_PRECISION = jax.lax.Precision.HIGH
+# SIFT3D_BLUR_MATMUL_PRECISION=highest opts into full-f32 MXU passes —
+# the knob the -2+ emission-surplus probe flips (VERDICT r3 #4; the
+# doubled-volume blur chain is the suspected rounding-sensitive spot).
+# Snapshotted at import: the value is baked into jitted programs.
+import os as _os
+
+_BLUR_PRECISION = {
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("SIFT3D_BLUR_MATMUL_PRECISION", "high")]
 
 
 def blur_axis(vol: jnp.ndarray, axis: int, sigma: float, min_value: float) -> jnp.ndarray:

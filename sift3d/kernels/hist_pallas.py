@@ -221,8 +221,15 @@ def _hist_topk_kernel(cnt_ref, cz_ref, cy_ref, w_ref, cx_ref, wt_ref, bx_ref,
         xi = jax.lax.broadcasted_iota(jnp.int32, (_P_LANES, _X_LANES), 1)
         idx_mat = pi * _X_LANES + xi
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, _TOPK_LANES), 1)
+        # constants for the stacked-neighbor extraction (see peak loop)
+        pcol = jax.lax.broadcasted_iota(jnp.int32, (_P_LANES, 8 * _X_LANES), 0)
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (1, 8 * _X_LANES), 1)
+        lrow_x = lrow % _X_LANES
+        g_l = jax.lax.broadcasted_iota(jnp.int32, (8 * _X_LANES, _TOPK_LANES), 0)
+        g_j = jax.lax.broadcasted_iota(jnp.int32, (8 * _X_LANES, _TOPK_LANES), 1)
+        gather_g = (g_l // _X_LANES == g_j).astype(jnp.float32)
         neg = jnp.float32(-jnp.inf)
-        hbs, pks = [], []
+        hbs, pks, stackeds = [], [], []
         for c in range(bc):
             raw = _splat_one(
                 cz_ref[c : c + 1, :], cy_ref[c : c + 1, :], w_ref[c : c + 1, :],
@@ -245,37 +252,71 @@ def _hist_topk_kernel(cnt_ref, cz_ref, cy_ref, w_ref, cx_ref, wt_ref, bx_ref,
                 m = jnp.maximum(m, pltpu.roll(mx3, (-dzy) % _P_LANES, 0))
             hbs.append(hb)
             pks.append(jnp.where((hb > m) & interior, hb, neg))
-        # peak loop OUTER, rows inner: each peak step is a serial chain of
-        # full-array reduces (max -> first-index min -> mask), ~2 reduce
-        # latencies long — but the bc rows are independent, so interleaving
-        # them gives the in-order VPU bc independent chains to overlap
-        # (measured ~3x faster than rows-outer at pipeline row counts)
+            # one [128, 8*16] neighborhood stack per row, built ONCE and
+            # reused by every peak step: lane group j holds hb shifted so
+            # position (p, j*16 + x) = the j-th output lane's value at
+            # flat index p*16+x — (self, x-1, x+1, y-1, y+1, z-1, z+1,
+            # flat index). Rolls wrap, but valid peaks are interior, so
+            # their six +-1 neighbors never cross an edge (the wrap only
+            # feeds the masked-invalid sel = 0 case).
+            stackeds.append(
+                jnp.concatenate(
+                    [
+                        hb,
+                        pltpu.roll(hb, 1, 1),               # x - 1
+                        pltpu.roll(hb, _X_LANES - 1, 1),    # x + 1
+                        pltpu.roll(hb, 1, 0),               # y - 1 (p - 1)
+                        pltpu.roll(hb, _P_LANES - 1, 0),    # y + 1
+                        pltpu.roll(hb, PATCH_DIM, 0),       # z - 1 (p - 11)
+                        pltpu.roll(hb, _P_LANES - PATCH_DIM, 0),  # z + 1
+                        idx_mat.astype(jnp.float32),
+                    ],
+                    axis=1,
+                )
+            )
+        # peak loop OUTER, rows inner: each peak step is a serial chain
+        # (max -> first-index min -> extraction -> mask), but the bc rows
+        # are independent, so interleaving them gives the in-order VPU bc
+        # independent chains to overlap (measured ~3x faster than
+        # rows-outer at pipeline row counts). Per peak the extraction is
+        # ONE sublane-collapse of the precomputed neighborhood stack plus
+        # one [1, 128] x [128, 16] group-gather matmul — replacing the
+        # former seven independent full-array masked-sum reduces, which
+        # made each chain ~9 serial reduces long (round-4 phase-2b lever).
         rows = [[] for _ in range(bc)]
         for _ in range(k):
             for c in range(bc):
-                hb, pk = hbs[c], pks[c]
+                pk = pks[c]
                 mval = jnp.max(pk)
                 # first (lowest flat index) slot holding the max: the tie
                 # order lax.top_k produces (-inf == -inf, so an empty peak
                 # set selects slot 0 with value -inf — masked downstream)
                 sel = jnp.min(jnp.where(pk == mval, idx_mat, _BIG_IDX))
-
-                def at_off(off, hb=hb):
-                    # interior peaks keep all six +-1 neighbors in range;
-                    # exactly one slot matches, so the sum IS the value
-                    return jnp.sum(jnp.where(idx_mat == sel + off, hb, 0.0))
-
-                vals = (
-                    mval,
-                    at_off(-1), at_off(1),           # x -/+ 1
-                    at_off(-_X_LANES), at_off(_X_LANES),  # y -/+ 1 (p -/+ 1)
-                    at_off(-PATCH_DIM * _X_LANES),   # z - 1 (p - 11)
-                    at_off(PATCH_DIM * _X_LANES),    # z + 1
-                    jnp.minimum(sel, 2047).astype(jnp.float32),
+                sel_p = sel // _X_LANES
+                sel_x = sel % _X_LANES
+                # extract row sel_p of the stack (exact: 0/1 mask + add
+                # reduce), keep only lanes whose x-position is sel_x, then
+                # collapse each 16-lane group to its output lane with a
+                # 0/1 gather matmul (products are v*1 or v*0 — exact)
+                t = jnp.sum(
+                    jnp.where(pcol == sel_p, stackeds[c], 0.0), axis=0,
+                    keepdims=True,
                 )
-                row = jnp.zeros((1, _TOPK_LANES), jnp.float32)
-                for li, v in enumerate(vals):
-                    row = jnp.where(lane == li, v, row)
+                masked = jnp.where(lrow_x == sel_x, t, 0.0)
+                # HIGHEST is load-bearing: the default single-pass bf16
+                # matmul rounds v*1.0 to 8 mantissa bits (measured 2e-3
+                # neighbor error AND corrupted flat indices > 256 —
+                # bf16(1318) = 1320); the f32 3-pass decomposition
+                # reconstructs v*1.0 exactly, keeping this extraction
+                # bit-identical to the masked-sum formulation it replaced
+                row = jax.lax.dot_general(
+                    masked, gather_g, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                # lane 0 must be the reduce's mval (-inf when no peak is
+                # left; the stack extraction would report a finite hb[0])
+                row = jnp.where(lane == 0, mval, row)
                 rows[c].append(row)
                 pks[c] = jnp.where(idx_mat == sel, neg, pk)
         for c in range(bc):

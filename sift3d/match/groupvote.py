@@ -281,6 +281,20 @@ class GroupMatcher:
         return GroupVoteResult(votes=votes, counts=counts, log_likelihood=ll)
 
 
+def touch_report_all(path: str = "report.all.txt") -> None:
+    """Create (truncate) the group matcher's report.all.txt.
+
+    The reference opens this file when the FLANN search structure is
+    built (msNearestNeighborApproximateInit, featMatchUtilities.cpp:1561)
+    and closes it on Delete (:1569) — no fprintf ever targets it in this
+    snapshot, so its on-disk parity artifact is an empty file created at
+    group-matcher init. Kept as an explicit helper (called by the CLI's
+    --all-to-all path) rather than a GroupMatcher side effect so library
+    users don't get files dropped into their CWD.
+    """
+    open(path, "wt").close()
+
+
 def write_vote_files(
     result: GroupVoteResult,
     votes_path: str = "matching_votes.txt",

@@ -36,6 +36,15 @@ from sift3d.utils.timing import StageTimer
 # decode path (the overflow fallback) to assert both paths agree
 _FORCE_LEGACY_CANDIDATES = False
 
+# opt-in slab-layout pre-padding (measured negative on the relay v5e,
+# kept for other hardware — PERFORMANCE.md round 3). Snapshotted ONCE at
+# import: the gate is baked into _phase1_program's jit cache, so a
+# mid-process env toggle would desynchronize cached vs fresh traces
+# (same class of trap as features._TINY_BUCKET_ENABLED, ADVICE r3).
+import os as _os_mod
+
+_PREPAD = bool(_os_mod.environ.get("SIFT3D_PREPAD"))
+
 
 def _pad_to(arr: np.ndarray, n: int, fill=0):
     if arr.shape[0] == n:
@@ -128,9 +137,7 @@ def _phase1_program(stack, cfg, n_oct: int, sizes, initial_image_scale: float,
     counts = []
     for octave in range(n_oct):
         gstack, dogs, mask, next_base = pyramid.octave_core(base, cfg)
-        import os as _os
-
-        if jax.default_backend() == "tpu" and _os.environ.get("SIFT3D_PREPAD"):
+        if jax.default_backend() == "tpu" and _PREPAD:
             # OPT-IN (measured NEGATIVE on the relay v5e, kept for other
             # hardware): materialize the stack once in the slab-DMA layout
             # so phases 2a/2c skip their internal pads via logical_dims.
@@ -338,17 +345,27 @@ def _phase2c_program(
     phase-2b counts sync, so the host slices blocks by exact offsets.
     One exact-size transfer replaces two padded ones (each D2H leg pays
     a ~33 ms RTT floor + ~30 MB/s through the tunnel, and per-block
-    capacity padding was ~1.4x the real rows)."""
+    capacity padding was ~1.4x the real rows).
+
+    layout carries cap_k (the kept-count bucket): unoriented rows and
+    their patches compact to it BEFORE the descriptor runs, so
+    normalize + GoH touch ~n_kept rows instead of the full chunk cap
+    (only ~45% of candidates survive eig/bounds; the patch row gather
+    is contiguous 5.3 KB rows — the gather shape TPUs like)."""
     packed, descs = [], []
-    for res_i, koff, kb, cap_t, cap_s, cap_l in layout:
+    for res_i, koff, kb, cap_k, cap_t, cap_s, cap_l in layout:
         sl = slice(koff, koff + kb)
-        packed.append(
-            fstage.pack_unoriented_stage(
-                sel["kvalid"][sl], sel["cand"][sl], sel["xyz"][sl], sel["scale"][sl],
-                sel["eigs"][sl], sel["eig_ori"][sl], cfg,
-            )
+        packed_full = fstage.pack_unoriented_stage(
+            sel["kvalid"][sl], sel["cand"][sl], sel["xyz"][sl], sel["scale"][sl],
+            sel["eigs"][sl], sel["eig_ori"][sl], cfg,
         )
-        descs.append(fstage.descriptor_stage(sel["pn"][sl], descriptor).astype(jnp.uint8))
+        kidx = _scatter_compact(sel["kvalid"][sl], cap_k)
+        kv = kidx >= 0
+        kc = jnp.clip(kidx, 0)
+        packed.append(jnp.where(kv[:, None], packed_full[kc], -1.0))
+        descs.append(
+            fstage.descriptor_stage(sel["pn"][sl][kc], descriptor).astype(jnp.uint8)
+        )
         for bucket, cap_b in (("tiny", cap_t), ("small", cap_s), ("large", cap_l)):
             if not (reoriented and cap_b > 0):
                 continue
@@ -593,22 +610,26 @@ def _extract_gen(
         cnts = np.concatenate(
             [np.asarray(c).reshape(-1, 2) for c in jax.device_get(gcount_list)]
         ).astype(np.int64)  # rows follow octave_results x volume order
-    pos = 0
-    offs_c = []
-    caps = []
-    gbs = []
-    overflow = False
-    for (vol_ids, _, o, size) in octave_results:
-        nb = len(vol_ids)
-        offs_c.append(pos)
-        n_grp_max = int(cnts[pos : pos + nb, 0].max())
-        overflow = overflow or n_grp_max > size
-        # slice the group tables to the group-count bucket first: the
-        # second-level nonzero is linear in the bytes it scans
-        gbs.append(_bucket(n_grp_max, size))
-        xd = o["blocks"].shape[-1]
-        caps.append(_bucket(int(cnts[pos : pos + nb, 1].max()), size * xd))
-        pos += nb
+    # pure-host candidate-layout work, timed separately so the host
+    # residual of placement-DP is measurable on the real chip
+    # (SCALING_r04 instrumentation, VERDICT r3 #5)
+    with timer.stage("host_layout_cand"):
+        pos = 0
+        offs_c = []
+        caps = []
+        gbs = []
+        overflow = False
+        for (vol_ids, _, o, size) in octave_results:
+            nb = len(vol_ids)
+            offs_c.append(pos)
+            n_grp_max = int(cnts[pos : pos + nb, 0].max())
+            overflow = overflow or n_grp_max > size
+            # slice the group tables to the group-count bucket first: the
+            # second-level nonzero is linear in the bytes it scans
+            gbs.append(_bucket(n_grp_max, size))
+            xd = o["blocks"].shape[-1]
+            caps.append(_bucket(int(cnts[pos : pos + nb, 1].max()), size * xd))
+            pos += nb
 
     empty_result = [FeatureSet.empty(0) for _ in range(n_vol)]
     chunk = cfg.union_chunk
@@ -777,39 +798,45 @@ def _extract_gen(
     if not surv:
         result_box[0] = empty_result
         return
-    layout_c = []
-    blocks: dict = {}
-    p_off = 0
-    # hard upper bound on reoriented rows per chunk: every candidate can
-    # emit at most min(K1*K2, max_orientations) copies — using it as the
-    # bucket cap makes silent truncation structurally impossible (a fixed
-    # 16*chunk cap would truncate if max_orientations were raised past 16)
-    s_tot = cfg.max_primary_orientations * cfg.max_secondary_orientations
-    cap_limit = chunk * max(1, min(s_tot, cfg.max_orientations))
-    # the rotated samplers row-chunk at 256 (patch.py rc), so any cap
-    # > 256 must divide by it; rounding the limit UP only adds padding
-    cap_limit = -(-cap_limit // 256) * 256
-    for j, i in enumerate(surv):
-        cap = chunk_meta[i][1]
-        n_kept = int(counts[i, 3])
-        n_tiny = int(counts[i, 1])
-        n_small = int(counts[i, 2])
-        n_large = int(counts[i, 0]) - n_kept - n_tiny - n_small
-        caps = tuple(
-            _bucket(n, cap_limit) if (reoriented and n > 0) else 0
-            for n in (n_tiny, n_small, n_large)
-        )
-        layout_c.append((chunk_meta[i][0], int(a_offs[i]), cap) + caps)
-        # block offsets into the COMPACTED download buffer: the program
-        # packs each block's valid rows contiguously in block order, so
-        # exact counts (known from the phase-2b sync) give exact slices
-        blocks[j] = [(p_off, n_kept)]
-        p_off += n_kept
-        for n_b, cap_b in zip((n_tiny, n_small, n_large), caps):
-            if cap_b > 0:
-                blocks[j].append((p_off, n_b))
-                p_off += n_b
-    out_cap = _bucket_fine(p_off)
+    with timer.stage("host_layout_rows"):
+        layout_c = []
+        blocks: dict = {}
+        p_off = 0
+        # hard upper bound on reoriented rows per chunk: every candidate
+        # can emit at most min(K1*K2, max_orientations) copies — using it
+        # as the bucket cap makes silent truncation structurally
+        # impossible (a fixed 16*chunk cap would truncate if
+        # max_orientations were raised past 16)
+        s_tot = cfg.max_primary_orientations * cfg.max_secondary_orientations
+        cap_limit = chunk * max(1, min(s_tot, cfg.max_orientations))
+        # the rotated samplers row-chunk at 256 (patch.py rc), so any cap
+        # > 256 must divide by it; rounding the limit UP only adds padding
+        cap_limit = -(-cap_limit // 256) * 256
+        for j, i in enumerate(surv):
+            cap = chunk_meta[i][1]
+            n_kept = int(counts[i, 3])
+            n_tiny = int(counts[i, 1])
+            n_small = int(counts[i, 2])
+            n_large = int(counts[i, 0]) - n_kept - n_tiny - n_small
+            caps = tuple(
+                _bucket(n, cap_limit) if (reoriented and n > 0) else 0
+                for n in (n_tiny, n_small, n_large)
+            )
+            # kept-count bucket: the unoriented descriptor path compacts
+            # to it before normalize/GoH (see _phase2c_program)
+            cap_k = _bucket(n_kept, cap)
+            layout_c.append((chunk_meta[i][0], int(a_offs[i]), cap, cap_k) + caps)
+            # block offsets into the COMPACTED download buffer: the
+            # program packs each block's valid rows contiguously in block
+            # order, so exact counts (known from the phase-2b sync) give
+            # exact slices
+            blocks[j] = [(p_off, n_kept)]
+            p_off += n_kept
+            for n_b, cap_b in zip((n_tiny, n_small, n_large), caps):
+                if cap_b > 0:
+                    blocks[j].append((p_off, n_b))
+                    p_off += n_b
+        out_cap = _bucket_fine(p_off)
     with timer.stage("phase2c"):
         # gdims: logical octave dims when the gstacks carry the slab-DMA
         # padding (TPU phase-1 layout); None when unpadded (CPU)

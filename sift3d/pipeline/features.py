@@ -683,9 +683,18 @@ def resample_stage(gstack, xyz, scale, oris, lvl):
     return sample_patches_leveled(gstack, lvl, xyz, scale, oris)
 
 
+# A/B gate for the 24^3/32-lane sampler bucket (perf measurement).
+# Snapshotted ONCE at import: the gate participates in jitted programs
+# (emit_count_stage / emit_reoriented_stage), whose compiled caches are
+# keyed only by static args — an env var read at trace time could
+# desynchronize a cached count program from a freshly traced emission
+# program and mis-slice the download buffer (ADVICE r3). A/B runs set
+# the env var before launching the process.
+_TINY_BUCKET_ENABLED = not os.environ.get("SIFT3D_NO_TINY_BUCKET")
+
+
 def _tiny_bucket_enabled() -> bool:
-    """A/B gate for the 24^3/32-lane sampler bucket (perf measurement)."""
-    return not os.environ.get("SIFT3D_NO_TINY_BUCKET")
+    return _TINY_BUCKET_ENABLED
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "reoriented"))

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from sift3d.io import keyfile, nifti
 
@@ -64,6 +65,7 @@ def test_featmatch_cli_outputs(tmp_path, rng, monkeypatch):
     monkeypatch.chdir(tmp_path)
     assert fm.main(["--all-to-all", k1, k2]) == 0
     for f in ["_command.txt", "_names.txt", "feature_count.txt", "report.txt",
+              "report.all.txt",
               "matching_votes.txt", "vote_count.txt", f"{k2}.trans.txt",
               f"{k2}.trans-inverse.txt", f"{k2}.update.key",
               f"{k2}.matches.img1.txt", f"{k2}.matches.img2.txt",
@@ -110,6 +112,31 @@ def test_featextract_cli_brief_descriptors(tmp_path, rng):
     assert not np.allclose(fr.desc, fb.desc)
 
 
+def test_featextract_cli_debug_pgm(tmp_path, rng, monkeypatch):
+    """--debug-pgm writes the input mid-slice (image.pgm, reference name
+    MultiScale.cpp:305-313) AND one G1 blur slice per octave
+    (image_o{N}.pgm; the reference overwrites a single file at
+    MultiScale.cpp:374-384 — we keep every octave)."""
+    from sift3d.cli import featextract as fe
+    from sift3d.pipeline.pyramid import num_octaves
+    from sift3d.core.config import DEFAULT_CONFIG
+
+    vol = _blob_volume() * 200 + rng.normal(0, 1, (40, 40, 40)).astype(np.float32)
+    vp = str(tmp_path / "d.nii")
+    nifti.write(vp, vol)
+    monkeypatch.chdir(tmp_path)
+    assert fe.main(["--debug-pgm", vp, str(tmp_path / "d.key")]) == 0
+    n_oct = num_octaves((40, 40, 40), DEFAULT_CONFIG)
+    assert n_oct >= 3
+    for name in ["image.pgm"] + [f"image_o{i}.pgm" for i in range(n_oct)]:
+        assert os.path.exists(name), f"missing {name}"
+        with open(name, "rb") as f:
+            header = f.read(2)
+        assert header == b"P5", f"{name} is not a binary PGM"
+    # octave slices shrink with the pyramid
+    assert os.path.getsize("image_o1.pgm") < os.path.getsize("image_o0.pgm")
+
+
 def test_featmatch_cli_geometry_weight(tmp_path, rng, monkeypatch):
     """-g W augments group-vote descriptors with W * xyz / scale (the
     67-d database of featMatchUtilities.cpp:1437-1442, 1530-1539 —
@@ -134,6 +161,7 @@ def test_featmatch_cli_geometry_weight(tmp_path, rng, monkeypatch):
     assert votes[0, 1] > 0 and votes[1, 0] > 0
 
 
+@pytest.mark.slow
 def test_featextract_cli_spatial(tmp_path, rng):
     """--spatial: the whole pipeline Z-sharded over the (simulated) mesh
     from the CLI, equal output to the standard path."""

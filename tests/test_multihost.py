@@ -21,6 +21,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_cluster(tmp_path):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")

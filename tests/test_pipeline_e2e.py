@@ -109,6 +109,7 @@ def test_descriptors_are_ranks(cfg):
         np.testing.assert_array_equal(np.sort(feats.desc[i]), np.arange(64))
 
 
+@pytest.mark.slow
 def test_extract_many_union_matches_single(cfg):
     """A same-shape batch (ONE union program per octave) must produce
     byte-identical features, in the same order, as per-volume extraction;
@@ -133,6 +134,7 @@ def test_extract_many_union_matches_single(cfg):
         np.testing.assert_array_equal(got.desc, want.desc)
 
 
+@pytest.mark.slow
 def test_extract_stream_matches_many(cfg):
     """The double-buffered thread-pipelined stream must return the same
     features, in input order, as sequential batch extraction."""
@@ -171,6 +173,7 @@ def test_candidate_group_overflow_fallback(rng):
     np.testing.assert_allclose(f_tiny.desc, f_big.desc, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_extract_software_pipelined_streams_match(cfg):
     """streams=N (generator lockstep, one host thread) must return
     byte-identical features, in input order, as streams=1 — including a

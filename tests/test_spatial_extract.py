@@ -47,6 +47,7 @@ def _assert_featuresets_close(got: FeatureSet, want: FeatureSet):
     assert (diff > 0).mean() < 0.02, f"{(diff > 0).mean():.2%} ranks perturbed"
 
 
+@pytest.mark.slow
 def test_spatial_extract_matches_single_device(rng, mesh_space):
     """Two sharded octaves (Z=70 pads to 96: exercises Z padding, the
     multi-hop halo at tz=12 < halo, AND the single-device tail octaves)."""
@@ -62,6 +63,7 @@ def test_spatial_extract_matches_single_device(rng, mesh_space):
     _assert_featuresets_close(got, want)
 
 
+@pytest.mark.slow
 def test_spatial_extract_all_octaves_sharded(rng, mesh_space):
     """Every octave sharded (no single-device tail): sharded_octaves
     beyond num_octaves clamps, and the divisible-Z path takes no padding."""
