@@ -35,6 +35,13 @@ def main() -> int:
     import bench
 
     from sift3d.core.config import DEFAULT_CONFIG
+    import dataclasses, os as _os
+    if _os.environ.get("SIFT3D_UNION_CHUNK"):
+        # A/B hook: larger union chunks = fewer per-chunk fixed costs,
+        # bigger boxed-gather transients (OOM risk past ~8192 at b16)
+        DEFAULT_CONFIG = dataclasses.replace(
+            DEFAULT_CONFIG, union_chunk=int(_os.environ["SIFT3D_UNION_CHUNK"])
+        )
     from sift3d.pipeline.extract import extract_features_many
 
     results = {}

@@ -29,17 +29,26 @@ def main() -> None:
     import bench
 
     from sift3d.core.config import DEFAULT_CONFIG
+    import dataclasses, os as _os
+    if _os.environ.get("SIFT3D_UNION_CHUNK"):
+        # A/B hook: larger union chunks = fewer per-chunk fixed costs,
+        # bigger boxed-gather transients (OOM risk past ~8192 at b16)
+        DEFAULT_CONFIG = dataclasses.replace(
+            DEFAULT_CONFIG, union_chunk=int(_os.environ["SIFT3D_UNION_CHUNK"])
+        )
     from sift3d.pipeline.extract import extract_features_many
     from sift3d.utils.timing import StageTimer
 
     vols = [bench.synthetic_t1(seed=7 + i) for i in range(batch)]
-    extract_features_many(vols, DEFAULT_CONFIG)  # warmup/compile
+    extract_features_many(vols, DEFAULT_CONFIG,
+                          reoriented=_os.environ.get("SIFT3D_BENCH_REORIENTED", "1") != "0")  # warmup/compile
 
     best = None
     for _ in range(repeats):
         timer = StageTimer(enabled=True)
         t0 = time.perf_counter()
-        extract_features_many(vols, DEFAULT_CONFIG, timer=timer)
+        extract_features_many(vols, DEFAULT_CONFIG, timer=timer,
+                               reoriented=_os.environ.get("SIFT3D_BENCH_REORIENTED", "1") != "0")
         dt = time.perf_counter() - t0
         if best is None or dt < best[0]:
             best = (dt, timer)

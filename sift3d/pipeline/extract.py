@@ -347,36 +347,38 @@ def _phase2c_program(
     a ~33 ms RTT floor + ~30 MB/s through the tunnel, and per-block
     capacity padding was ~1.4x the real rows).
 
-    layout carries cap_k (the kept-count bucket): unoriented rows and
-    their patches compact to it BEFORE the descriptor runs, so
-    normalize + GoH touch ~n_kept rows instead of the full chunk cap
-    (only ~45% of candidates survive eig/bounds; the patch row gather
-    is contiguous 5.3 KB rows — the gather shape TPUs like)."""
+    The unoriented descriptor runs at FULL chunk capacity even though
+    only ~45% of rows survive: compacting (packed, pn) to the kept
+    bucket first was measured a -1.0 vol/s streams-mode regression at
+    batch 12/3 (18.5 vs 19.4 back-to-back, round-4 isolation A/B) — the
+    [cap, 1331] patch row gather costs more than the saved normalize +
+    GoH on dead rows, even though forced-sync stage timing read the
+    change as neutral. Same lesson as round 3's pre-padding: only
+    end-to-end A/B counts on this compiler."""
     packed, descs = [], []
-    for res_i, koff, kb, cap_k, cap_t, cap_s, cap_l in layout:
+    for res_i, koff, kb, cap_all, cap_t, cap_s, cap_l in layout:
         sl = slice(koff, koff + kb)
-        packed_full = fstage.pack_unoriented_stage(
-            sel["kvalid"][sl], sel["cand"][sl], sel["xyz"][sl], sel["scale"][sl],
-            sel["eigs"][sl], sel["eig_ori"][sl], cfg,
+        packed.append(
+            fstage.pack_unoriented_stage(
+                sel["kvalid"][sl], sel["cand"][sl], sel["xyz"][sl], sel["scale"][sl],
+                sel["eigs"][sl], sel["eig_ori"][sl], cfg,
+            )
         )
-        kidx = _scatter_compact(sel["kvalid"][sl], cap_k)
-        kv = kidx >= 0
-        kc = jnp.clip(kidx, 0)
-        packed.append(jnp.where(kv[:, None], packed_full[kc], -1.0))
-        descs.append(
-            fstage.descriptor_stage(sel["pn"][sl][kc], descriptor).astype(jnp.uint8)
-        )
-        for bucket, cap_b in (("tiny", cap_t), ("small", cap_s), ("large", cap_l)):
-            if not (reoriented and cap_b > 0):
-                continue
-            _, packed_b, patches_b = fstage.emit_reoriented_stage(
+        descs.append(fstage.descriptor_stage(sel["pn"][sl], descriptor).astype(jnp.uint8))
+        if reoriented and cap_all > 0:
+            # all three scale buckets from ONE shared slot-grid
+            # compaction (the per-bucket cumsum over [cap x K1*K2] flags
+            # was ~45 ms of batch-12 phase-2c across chunks x buckets)
+            for _, packed_b, patches_b in fstage.emit_reoriented_buckets(
                 gstacks[res_i], sel["cand"][sl], sel["xyz"][sl], sel["scale"][sl],
                 sel["kvalid"][sl], sel["eigs"][sl], sel["ori"][sl], sel["ori_valid"][sl],
-                cfg, cap_b, bucket,
+                cfg, (cap_all, cap_t, cap_s, cap_l),
                 g_dims=None if gdims is None else gdims[res_i],
-            )
-            packed.append(packed_b)
-            descs.append(fstage.descriptor_stage(patches_b, descriptor).astype(jnp.uint8))
+            ):
+                packed.append(packed_b)
+                descs.append(
+                    fstage.descriptor_stage(patches_b, descriptor).astype(jnp.uint8)
+                )
     packed = jnp.concatenate(packed)
     descs = jnp.concatenate(descs)
     # one int32 buffer carries everything: geometry bitcast f32->int32 and
@@ -822,10 +824,11 @@ def _extract_gen(
                 _bucket(n, cap_limit) if (reoriented and n > 0) else 0
                 for n in (n_tiny, n_small, n_large)
             )
-            # kept-count bucket: the unoriented descriptor path compacts
-            # to it before normalize/GoH (see _phase2c_program)
-            cap_k = _bucket(n_kept, cap)
-            layout_c.append((chunk_meta[i][0], int(a_offs[i]), cap, cap_k) + caps)
+            # shared-compaction capacity: every reoriented row of the
+            # chunk, any bucket (emit_reoriented_buckets' cap_all)
+            n_reor = n_tiny + n_small + n_large
+            cap_all = _bucket(n_reor, cap_limit) if (reoriented and n_reor > 0) else 0
+            layout_c.append((chunk_meta[i][0], int(a_offs[i]), cap, cap_all) + caps)
             # block offsets into the COMPACTED download buffer: the
             # program packs each block's valid rows contiguously in block
             # order, so exact counts (known from the phase-2b sync) give

@@ -757,6 +757,114 @@ def pack_unoriented_stage(kvalid, cand, xyz, scale, eigs, eig_ori, cfg: SiftConf
     return jnp.where(kvalid[:, None], packed, -1.0)
 
 
+def _materialize_reoriented_rows(
+    gstacks, cand, xyz, scale, eigs, ori, idx, row_valid, count, cfg,
+    box, xwin, gz_shift, g_dims,
+):
+    """Gather + pack + resample the reoriented rows selected by `idx`
+    (compacted ascending flat (candidate, slot) indices, -1 padded).
+    `count` is the caller's PRE-compaction matching-slot total (it can
+    exceed the capacity on overflow, which spatial.py asserts against).
+    Shared by emit_reoriented_stage and emit_reoriented_buckets; the
+    reference push-order key cand * (1 + S) + slot + 1 is global, so the
+    host merge is independent of how rows were bucketed."""
+    from sift3d.core.featureset import INFO_FLAG_MIN0MAX1, INFO_FLAG_REORIENT
+    from sift3d.kernels.patch import sample_patches_rotated
+
+    vi, lvl, sign = cand[:, 0], cand[:, 1], cand[:, 5]
+    c = xyz.shape[0]
+    s = cfg.max_primary_orientations * cfg.max_secondary_orientations
+    idxc = jnp.clip(idx, 0)
+    cand_i = jnp.clip(idxc // s, 0, c - 1)
+    slot = jnp.where(row_valid, idxc % s, 0)
+
+    row_xyz = xyz[cand_i]
+    row_scale = scale[cand_i]
+    row_eigs = eigs[cand_i]
+    row_lvl = lvl[cand_i]
+    row_vi = vi[cand_i]
+    row_ori = ori.reshape(c, s, 3, 3)[cand_i, slot]
+    row_info = jnp.where(sign[cand_i] > 0, INFO_FLAG_MIN0MAX1, 0).astype(jnp.uint32)
+    row_info = row_info | jnp.uint32(INFO_FLAG_REORIENT)
+    key = jnp.where(row_valid, cand_i * (1 + s) + slot + 1, -1)
+
+    b, ngl = gstacks.shape[0], gstacks.shape[1]
+    gstackf = gstacks.reshape((b * ngl,) + gstacks.shape[2:])
+    row_xyz_g = row_xyz
+    if gz_shift:
+        row_xyz_g = row_xyz + jnp.asarray([0.0, 0.0, float(gz_shift)], jnp.float32)
+    patches = sample_patches_rotated(
+        gstackf, row_vi * ngl + row_lvl, row_xyz_g, row_scale, row_ori, box=box,
+        count=count, xwin=xwin, logical_dims=g_dims,
+    )
+    packed = _pack_rows(key, row_vi, row_xyz, row_scale, row_eigs, row_ori, row_info)
+    packed = jnp.where(row_valid[:, None], packed, -1.0)
+    return count, packed, patches
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "caps", "gz_shift", "g_dims")
+)
+def emit_reoriented_buckets(
+    gstacks, cand, xyz, scale, kvalid, eigs, ori, ori_valid,
+    cfg: SiftConfig, caps, gz_shift: int = 0, g_dims=None,
+):
+    """All scale buckets' reoriented rows from ONE shared compaction.
+
+    caps = (cap_all, cap_tiny, cap_small, cap_large); zero disables a
+    bucket. The per-bucket formulation (emit_reoriented_stage x3) pays a
+    scatter_compact cumsum over the full [cap x S] slot grid (~270k
+    elements at chunk 4096, k1*k2 = 66) PER BUCKET; here the slot grid
+    is compacted once to cap_all rows and the buckets sub-compact that
+    tiny array (~45 ms of batch-12 phase-2c was these replicated
+    cumsums). Row sets and orders are identical: filtering an ascending
+    compaction by bucket preserves the ascending flat order each
+    per-bucket compaction would have produced.
+
+    Returns a list of (count, packed, patches) for each ENABLED bucket
+    in (tiny, small, large) order.
+    """
+    from sift3d.kernels.patch import (
+        _RBOX, _RBOX_SMALL, _RBOX_TINY, _XWIN, _XWIN_TINY, rbox_max_scale,
+    )
+
+    c, k1, k2 = ori_valid.shape
+    s = k1 * k2
+    cap_all, cap_t, cap_sm, cap_l = caps
+    ovf = ori_valid.reshape(c, s) & kvalid[:, None]
+    rank = jnp.cumsum(ovf.astype(jnp.int32), axis=1) - 1
+    slots = ovf & (rank < cfg.max_orientations)
+    aidx = scatter_compact(slots.ravel(), cap_all)
+    avalid = aidx >= 0
+    ascale = scale[jnp.clip(jnp.clip(aidx, 0) // s, 0, c - 1)]
+
+    tiny_max = rbox_max_scale(_RBOX_TINY) if _tiny_bucket_enabled() else -1.0
+    small_max = rbox_max_scale(_RBOX_SMALL)
+    outs = []
+    for bucket, cap_b in (("tiny", cap_t), ("small", cap_sm), ("large", cap_l)):
+        if cap_b <= 0:
+            continue
+        if bucket == "tiny":
+            bf = avalid & (ascale <= tiny_max)
+            box, xwin = _RBOX_TINY, _XWIN_TINY
+        elif bucket == "small":
+            bf = avalid & (ascale > tiny_max) & (ascale <= small_max)
+            box, xwin = _RBOX_SMALL, _XWIN
+        else:
+            bf = avalid & (ascale > small_max)
+            box, xwin = _RBOX, _XWIN
+        bidx = scatter_compact(bf, cap_b)
+        row_valid = bidx >= 0
+        idx = jnp.where(row_valid, aidx[jnp.clip(bidx, 0)], -1)
+        outs.append(
+            _materialize_reoriented_rows(
+                gstacks, cand, xyz, scale, eigs, ori, idx, row_valid,
+                bf.sum(), cfg, box, xwin, gz_shift, g_dims,
+            )
+        )
+    return outs
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "emit_cap", "scale_bucket", "gz_shift", "g_dims")
 )
@@ -777,13 +885,16 @@ def emit_reoriented_stage(
     per row than 48^3/64), "small" the 48^3 box, "large" the rest, "all"
     disables bucketing. Order keys are global, so the host merge
     reassembles reference push order across buckets.
+
+    The union pipeline emits all three buckets per chunk through
+    emit_reoriented_buckets (one shared slot-grid compaction); this
+    single-bucket entry remains for the spatial pipeline ("all") and
+    capacity tests.
     """
-    from sift3d.core.featureset import INFO_FLAG_MIN0MAX1, INFO_FLAG_REORIENT
     from sift3d.kernels.patch import (
         _RBOX, _RBOX_SMALL, _RBOX_TINY, _XWIN, _XWIN_TINY, rbox_max_scale,
     )
 
-    vi, lvl, sign = cand[:, 0], cand[:, 1], cand[:, 5]
     c, k1, k2 = ori_valid.shape
     s = k1 * k2
     ovf = ori_valid.reshape(c, s) & kvalid[:, None]
@@ -802,37 +913,11 @@ def emit_reoriented_stage(
     elif scale_bucket == "large":
         slots = slots & (scale > rbox_max_scale(_RBOX_SMALL))[:, None]
     flat = slots.ravel()
-    count = flat.sum()
     idx = scatter_compact(flat, emit_cap)
-    row_valid = idx >= 0
-    idxc = jnp.clip(idx, 0)
-    cand = jnp.clip(idxc // s, 0, c - 1)
-    slot = jnp.where(row_valid, idxc % s, 0)
-
-    row_xyz = xyz[cand]
-    row_scale = scale[cand]
-    row_eigs = eigs[cand]
-    row_lvl = lvl[cand]
-    row_vi = vi[cand]
-    row_ori = ori.reshape(c, s, 3, 3)[cand, slot]
-    row_info = jnp.where(sign[cand] > 0, INFO_FLAG_MIN0MAX1, 0).astype(jnp.uint32)
-    row_info = row_info | jnp.uint32(INFO_FLAG_REORIENT)
-    key = jnp.where(row_valid, cand * (1 + s) + slot + 1, -1)
-
-    from sift3d.kernels.patch import sample_patches_rotated
-
-    b, ngl = gstacks.shape[0], gstacks.shape[1]
-    gstackf = gstacks.reshape((b * ngl,) + gstacks.shape[2:])
-    row_xyz_g = row_xyz
-    if gz_shift:
-        row_xyz_g = row_xyz + jnp.asarray([0.0, 0.0, float(gz_shift)], jnp.float32)
-    patches = sample_patches_rotated(
-        gstackf, row_vi * ngl + row_lvl, row_xyz_g, row_scale, row_ori, box=box,
-        count=count, xwin=xwin, logical_dims=g_dims,
+    return _materialize_reoriented_rows(
+        gstacks, cand, xyz, scale, eigs, ori, idx, idx >= 0, flat.sum(), cfg,
+        box, xwin, gz_shift, g_dims,
     )
-    packed = _pack_rows(key, row_vi, row_xyz, row_scale, row_eigs, row_ori, row_info)
-    packed = jnp.where(row_valid[:, None], packed, -1.0)
-    return count, packed, patches
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "emit_cap", "reoriented"))
