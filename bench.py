@@ -147,12 +147,15 @@ def main() -> None:
     best_obj = None
     attempt_vps = []  # every successful attempt's value (all batch sizes)
 
-    def attempt(batch: int, n_runs: int, cap_s: float) -> str:
-        """Run one batch in a subprocess. Returns 'ok'/'oom'/'fail'/'budget'."""
+    def attempt(batch: int, n_runs: int, cap_s: float):
+        """Run one batch in a subprocess.
+
+        Returns (status, vps): status 'ok'/'oom'/'fail'/'budget', vps the
+        attempt's volumes/sec (-1 unless ok)."""
         nonlocal best_vps, best_obj
         remaining = deadline - time.monotonic()
         if remaining < 30.0:
-            return "budget"
+            return "budget", -1.0
         env = dict(
             os.environ, SIFT3D_BENCH_SINGLE=str(batch), SIFT3D_BENCH_RUNS=str(n_runs)
         )
@@ -164,7 +167,7 @@ def main() -> None:
             )
         except subprocess.TimeoutExpired:
             print(f"# batch {batch}: timed out, keeping best so far", file=sys.stderr)
-            return "fail"
+            return "fail", -1.0
         line = next(
             (ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')), None
         )
@@ -176,41 +179,43 @@ def main() -> None:
                 best_vps = vps
                 best_obj = obj
                 print(line, flush=True)  # driver reads the LAST line
-            return "ok"
+            return "ok", vps
         sys.stderr.write(proc.stderr[-4000:])
         if "RESOURCE_EXHAUSTED" in proc.stderr or "out of memory" in proc.stderr.lower():
             print(f"# batch {batch}: exhausted HBM", file=sys.stderr)
-            return "oom"
-        return "fail"
+            return "oom", -1.0
+        return "fail", -1.0
 
     # Phase 1: guaranteed number. Batch 1, short timing loop, generous cap
     # (first compile through the remote-compile tunnel is the slow part).
     for _ in range(2):
-        if attempt(1, n_runs=3, cap_s=420.0) == "ok":
+        if attempt(1, n_runs=3, cap_s=420.0)[0] == "ok":
             break
 
-    # Phase 2: climb. Batch 16 as 4 streams of 4 measured best in round 3;
-    # HBM headroom on the shared relay chip varies, so step down on OOM.
-    # Stop at first success — larger batch == higher vol/s (measured).
+    # Phase 2: climb. 16/4 measured best in round 3 but 12/3 beat it by
+    # 30%+ on round-4 relay days — which batch wins is runtime-dependent,
+    # so the top TWO rungs are both measured and phase 3 re-runs the
+    # better one. Below them, step down on OOM only (full ladder to 2: on
+    # a tight-HBM day even batch 4 beats the batch-1 fallback, ADVICE r3).
     start = int(os.environ.get("SIFT3D_BENCH_BATCH", "16"))
     won = None
-    # full step-down ladder: on a tight-HBM day 16/12/8 can all OOM while
-    # 4 (known to fit in round 2) still yields a far better line than the
-    # batch-1 fallback; the budget guard bounds total time (ADVICE r3)
-    for batch in [b for b in (start, 12, 8, 4, 2) if 1 < b <= start]:
-        status = attempt(batch, n_runs=5, cap_s=300.0)
-        if status == "ok":
-            won = batch
-        if status in ("ok", "budget"):
+    won_vps = -1.0
+    ladder = [b for b in (start, 12, 8, 4, 2) if 1 < b <= start]
+    for i, batch in enumerate(ladder):
+        status, vps = attempt(batch, n_runs=5, cap_s=300.0)
+        if status == "ok" and vps > won_vps:
+            won, won_vps = batch, vps
+        if status == "budget":
             break
-        # 'oom' or 'fail': step down to the next smaller batch
+        if won is not None and i >= 1:
+            break  # top two rungs measured (or one rung + a step-down)
 
     # Phase 3: the relay's throughput swings +-2x on minute timescales, so
     # while budget remains, re-run the winning batch — attempt() prints a
     # new line only when it beats the best so far (compile caches are hot,
     # so each retry costs just its timing loop).
     while won is not None and deadline - time.monotonic() > 150.0:
-        if attempt(won, n_runs=5, cap_s=240.0) != "ok":
+        if attempt(won, n_runs=5, cap_s=240.0)[0] != "ok":
             break
 
     if best_vps < 0:

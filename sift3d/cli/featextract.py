@@ -115,8 +115,16 @@ def main(argv=None) -> int:
         world[:3, :3] = world[:3, :3] * factors[None, :]
         dx = dy = dz = dmin
 
+    import dataclasses
+
+    cfg = DEFAULT_CONFIG
     initial_scale = 1.0
     if double_image == 1:
+        # doubled-volume blur chains run the MXU blur at full f32: the
+        # bf16x3 default emits false extrema there (every TPU-surplus
+        # candidate of the -2+ parity cells failed f64 re-validation and
+        # HIGHEST removes them all — scripts/doubled_surplus_probe.py)
+        cfg = dataclasses.replace(cfg, blur_matmul_precision="highest")
         data = double_size(data)
         initial_scale = 0.5
     elif double_image == -1:
@@ -135,7 +143,7 @@ def main(argv=None) -> int:
         from sift3d.utils.pgm import write_pyramid_slices, write_volume_slice
 
         write_volume_slice("image.pgm", np.asarray(data))
-        write_pyramid_slices(data, DEFAULT_CONFIG, initial_scale)
+        write_pyramid_slices(data, cfg, initial_scale)
 
     timer = StageTimer(enabled=True)
     if spatial_devices is not None:
@@ -148,13 +156,13 @@ def main(argv=None) -> int:
         n = n_dev if spatial_devices == 0 else min(spatial_devices, n_dev)
         mesh = make_mesh(batch=1, space=n, devices=jax.devices()[:n])
         feats = extract_features_spatial(
-            np.asarray(data), mesh, DEFAULT_CONFIG,
+            np.asarray(data), mesh, cfg,
             initial_image_scale=initial_scale, descriptor=descriptor,
             sharded_octaves=spatial_octaves,
         )
     else:
         feats = extract_features(
-            data, DEFAULT_CONFIG, initial_image_scale=initial_scale,
+            data, cfg, initial_image_scale=initial_scale,
             descriptor=descriptor, timer=timer,
         )
 

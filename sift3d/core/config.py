@@ -37,6 +37,14 @@ class SiftConfig:
     blurs_per_octave: int = 3
     blurs_extra: int = 3
     blur_precision: float = 0.01
+    # MXU precision of the banded blur matmuls: "high" (bf16x3, ~1e-6
+    # relative, parity-validated at native resolution) or "highest"
+    # (full f32). The -2+ CLI path switches to "highest": on doubled
+    # volumes the bf16x3 chain emits false extrema that f64 replication
+    # disowns and HIGHEST eliminates (scripts/doubled_surplus_probe.py,
+    # round 4). None (default) defers to the SIFT3D_BLUR_MATMUL_PRECISION
+    # env default in kernels/gauss.py ("high" unless overridden).
+    blur_matmul_precision: "str | None" = None
     sigma_base: float = 1.6
     sigma_init: float = 0.5
     min_octave_dim: int = 3  # octave stops when any dim <= 2

@@ -105,13 +105,22 @@ def _banded_matrix(dim: int, sigma: float, min_value: float) -> np.ndarray:
 # Snapshotted at import: the value is baked into jitted programs.
 import os as _os
 
-_BLUR_PRECISION = {
+_PRECISIONS = {
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("SIFT3D_BLUR_MATMUL_PRECISION", "high")]
+}
+_BLUR_PRECISION = _PRECISIONS[_os.environ.get("SIFT3D_BLUR_MATMUL_PRECISION", "high")]
 
 
-def blur_axis(vol: jnp.ndarray, axis: int, sigma: float, min_value: float) -> jnp.ndarray:
+def _resolve_precision(matmul_precision):
+    """None -> the module default (env-overridable); else by name."""
+    if matmul_precision is None:
+        return _BLUR_PRECISION
+    return _PRECISIONS[matmul_precision]
+
+
+def blur_axis(vol: jnp.ndarray, axis: int, sigma: float, min_value: float,
+              matmul_precision: str | None = None) -> jnp.ndarray:
     """Blur one spatial axis of a [..., Z, Y, X] volume via a banded matmul.
 
     `axis` indexes the three trailing spatial dims (0=Z, 1=Y, 2=X); any
@@ -122,22 +131,30 @@ def blur_axis(vol: jnp.ndarray, axis: int, sigma: float, min_value: float) -> jn
     b = jnp.asarray(_banded_matrix(dim, float(sigma), float(min_value)))
     specs = {0: "...zyx,zw->...wyx", 1: "...zyx,yw->...zwx", 2: "...zyx,xw->...zyw"}
     return jnp.einsum(
-        specs[axis], vol, b, preferred_element_type=jnp.float32, precision=_BLUR_PRECISION
+        specs[axis], vol, b, preferred_element_type=jnp.float32,
+        precision=_resolve_precision(matmul_precision),
     )
 
 
-def blur3d(vol: jnp.ndarray, sigma: float, min_value: float = 0.01) -> jnp.ndarray:
+def blur3d(vol: jnp.ndarray, sigma: float, min_value: float = 0.01,
+           matmul_precision: str | None = None) -> jnp.ndarray:
     """Separable 3D Gaussian blur with zero-padded borders.
 
     Equivalent of gb3d_blur3d (GaussBlur3D.cpp:1262-1285) on the CPU/GPU
     paths: x pass, then y, then z (pass order does not change the result
     for separable filters; the reference also runs x->y->z).
+
+    matmul_precision: "high" (default, bf16x3) or "highest" (full f32).
+    -2+ (doubled-volume) pipelines pass "highest": the round-4 f64 probe
+    (scripts/doubled_surplus_probe.py) showed every surplus extremum the
+    TPU emitted on doubled volumes was a bf16x3 false positive, and
+    HIGHEST removes 100% of them (doubled_surplus_probe.json).
     """
     if sigma <= 0.0:
         return vol
-    out = blur_axis(vol, 2, sigma, min_value)
-    out = blur_axis(out, 1, sigma, min_value)
-    out = blur_axis(out, 0, sigma, min_value)
+    out = blur_axis(vol, 2, sigma, min_value, matmul_precision)
+    out = blur_axis(out, 1, sigma, min_value, matmul_precision)
+    out = blur_axis(out, 0, sigma, min_value, matmul_precision)
     return out
 
 

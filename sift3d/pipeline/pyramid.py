@@ -39,14 +39,15 @@ class OctaveResult(NamedTuple):
     next_base: jnp.ndarray  # [Z/2, Y/2, X/2]  ([B, Z/2, Y/2, X/2])
 
 
-def _blur(vol, sigma, precision):
+def _blur(vol, sigma, precision, matmul_precision=None):
     """Per-level blur: banded MXU matmuls by default.
 
     A fused 3-axis Pallas kernel exists (kernels/gauss_pallas.py) but
     measured *slower* in-chain at T1 size (3.2 ms vs 2.7 ms per blur on
     v5e; see PERFORMANCE.md) — XLA's banded-matmul lowering already
     saturates the bandwidth bound. Opt in with SIFT3D_PALLAS_BLUR=1 for
-    re-measurement on other hardware.
+    re-measurement on other hardware (the Pallas path has no matmul-
+    precision ladder, so it only serves the default "high" setting).
     """
     import os
 
@@ -54,11 +55,12 @@ def _blur(vol, sigma, precision):
         vol.ndim == 3
         and jax.default_backend() == "tpu"
         and os.environ.get("SIFT3D_PALLAS_BLUR")
+        and gauss._resolve_precision(matmul_precision) is jax.lax.Precision.HIGH
     ):
         from sift3d.kernels.gauss_pallas import blur3d_pallas
 
         return blur3d_pallas(vol, sigma, precision)
-    return gauss.blur3d(vol, sigma, precision)
+    return gauss.blur3d(vol, sigma, precision, matmul_precision)
 
 
 def octave_core(base: jnp.ndarray, cfg: SiftConfig):
@@ -73,7 +75,10 @@ def octave_core(base: jnp.ndarray, cfg: SiftConfig):
     inc = cfg.incremental_sigmas()
     levels = [base]
     for j in range(1, cfg.blurs_total):
-        levels.append(_blur(levels[-1], inc[j - 1], cfg.blur_precision))
+        levels.append(
+            _blur(levels[-1], inc[j - 1], cfg.blur_precision,
+                  cfg.blur_matmul_precision)
+        )
     gstack = jnp.stack(levels, axis=-4)  # level dim before Z, Y, X
     # fused Pallas DoG + extrema on TPU (one Gaussian-slab pass produces
     # both, ~6x the separate subtract + stencil flow); lax elsewhere
@@ -106,7 +111,7 @@ def initial_blur_core(img: jnp.ndarray, cfg: SiftConfig, initial_image_scale: fl
     if initial_image_scale > 0:
         sigma_init = sigma_init / initial_image_scale
     extra = math.sqrt(max(cfg.sigma_base**2 - sigma_init**2, 0.0))
-    return _blur(img, extra, cfg.blur_precision)
+    return _blur(img, extra, cfg.blur_precision, cfg.blur_matmul_precision)
 
 
 initial_blur = functools.partial(jax.jit, static_argnames=("cfg", "initial_image_scale"))(
