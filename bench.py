@@ -200,7 +200,12 @@ def main() -> None:
     start = int(os.environ.get("SIFT3D_BENCH_BATCH", "16"))
     won = None
     won_vps = -1.0
-    ladder = [b for b in (start, 12, 8, 4, 2) if 1 < b <= start]
+    # batch 12 first: it always fits and won round-4 sessions, so a
+    # budget-squeezed run still records the reliable rung; 16 is the
+    # upside try (it won round 3), then the OOM step-down tail
+    ladder = list(dict.fromkeys(
+        b for b in (min(12, start), start, 8, 4, 2) if 1 < b <= start
+    ))
     for i, batch in enumerate(ladder):
         status, vps = attempt(batch, n_runs=5, cap_s=300.0)
         if status == "ok" and vps > won_vps:

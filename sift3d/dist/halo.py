@@ -75,11 +75,14 @@ def blur3d_sharded(
     mesh: Mesh,
     min_value: float = 0.01,
     axis_name: str = "space",
+    matmul_precision: "str | None" = None,
 ) -> jnp.ndarray:
     """Separable 3D blur of a Z-sharded [Z, Y, X] volume.
 
     Equivalent to sift3d.kernels.gauss.blur3d on the gathered volume, but
     each device only ever holds its shard plus a filter-radius halo.
+    matmul_precision mirrors gauss.blur3d (the -2+ HIGHEST rule applies
+    to sharded chains too).
     """
     if sigma <= 0:
         return vol
@@ -94,8 +97,8 @@ def blur3d_sharded(
     )
     def _blur(local):
         # x and y passes are local (those axes are unsharded)
-        out = gauss.blur_axis(local, 2, sigma, min_value)
-        out = gauss.blur_axis(out, 1, sigma, min_value)
+        out = gauss.blur_axis(local, 2, sigma, min_value, matmul_precision)
+        out = gauss.blur_axis(out, 1, sigma, min_value, matmul_precision)
         if radius == 0:
             return out
         # z pass with halo: exchange radius planes, dense banded matmul on
@@ -110,7 +113,8 @@ def blur3d_sharded(
             b[lo:hi, o] = t[lo - o + radius : hi - o + radius]
         blurred = jnp.einsum(
             "zyx,zw->wyx", ext, jnp.asarray(b),
-            preferred_element_type=jnp.float32, precision=gauss._BLUR_PRECISION,
+            preferred_element_type=jnp.float32,
+            precision=gauss._resolve_precision(matmul_precision),
         )
         return blurred[radius : radius + local.shape[0]]
 

@@ -122,7 +122,8 @@ def octave_step_spatial(base, cfg: SiftConfig, mesh: Mesh, axis_name: str = "spa
     inc = cfg.incremental_sigmas()
     levels = [base]
     for j in range(1, cfg.blurs_total):
-        lv = blur3d_sharded(levels[-1], inc[j - 1], mesh, cfg.blur_precision, axis_name)
+        lv = blur3d_sharded(levels[-1], inc[j - 1], mesh, cfg.blur_precision,
+                            axis_name, cfg.blur_matmul_precision)
         if tzz < zp:
             lv = _zero_tail(lv, mesh, tzz, axis_name)
         levels.append(lv)
@@ -150,7 +151,8 @@ def initial_blur_spatial(vol, cfg: SiftConfig, mesh: Mesh, initial_image_scale: 
     if initial_image_scale > 0:
         sigma_init = sigma_init / initial_image_scale
     extra = math.sqrt(max(cfg.sigma_base**2 - sigma_init**2, 0.0))
-    out = blur3d_sharded(vol, extra, mesh, cfg.blur_precision, axis_name)
+    out = blur3d_sharded(vol, extra, mesh, cfg.blur_precision, axis_name,
+                         cfg.blur_matmul_precision)
     if true_z is not None and true_z < vol.shape[0]:
         out = _zero_tail(out, mesh, true_z, axis_name)
     return out
