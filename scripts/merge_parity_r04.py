@@ -48,16 +48,25 @@ def main() -> int:
     std = load("PARITY_r04_standard.json")
     full = load("PARITY_r04_fullsize.json")
     doubled = load("PARITY_r04_doubled.json")
+    seed19 = load("PARITY_r04_seed19.json")
     ctrl = load("PARITY_r04_cpu_control.json")
     probe = load("doubled_surplus_probe.json")
     assert std and full, "run the standard and fullsize sweeps first"
+
+    def key(c):
+        return (tuple(c["dims"]) if isinstance(c["dims"], list) else c["dims"],
+                tuple(c["flags"]), c["seed"])
 
     std_cells = std["cells"]
     if doubled:
         # the -2+ cells were re-run AFTER the blur_matmul_precision fix
         # (the CLI now runs doubled chains at HIGHEST); replace the
-        # pre-fix -2+ cells with the post-fix ones
-        std_cells = [c for c in std_cells if c["flags"] != ["-2+"]] + doubled["cells"]
+        # pre-fix standard -2+ cells with the post-fix re-runs
+        replaced = {key(c) for c in doubled["cells"]}
+        std_cells = [c for c in std_cells if key(c) not in replaced] + doubled["cells"]
+    if seed19:
+        # seed-19 cells all ran post-fix; plain extension
+        std_cells = std_cells + seed19["cells"]
 
     out = {
         "summary": {

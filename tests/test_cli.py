@@ -112,6 +112,30 @@ def test_featextract_cli_brief_descriptors(tmp_path, rng):
     assert not np.allclose(fr.desc, fb.desc)
 
 
+def test_featextract_cli_doubled(tmp_path, rng):
+    """-2+ doubles the input (fioDoubleSize semantics) and runs the blur
+    chain at HIGHEST matmul precision (the round-4 fix for the
+    doubled-volume false-extrema surplus); output geometry returns to
+    input voxel coordinates via the 0.5 size factor
+    (featExtract.cpp:422-427)."""
+    from sift3d.cli import featextract as fe
+
+    vol = _blob_volume(dims=32, c=(16, 16, 16)) * 200 + rng.normal(
+        0, 1, (32, 32, 32)
+    ).astype(np.float32)
+    vp = str(tmp_path / "d2.nii")
+    nifti.write(vp, vol)
+    kp = str(tmp_path / "d2.key")
+    assert fe.main(["-2+", vp, kp]) == 0
+    feats, _ = keyfile.read_text(kp)
+    assert len(feats) > 0
+    # geometry is back in INPUT voxel space: the doubled-volume blob sits
+    # at 2x the input center before the 0.5 size factor restores it
+    un = feats.select(~feats.is_reoriented)
+    d = np.linalg.norm(un.xyz - np.array([16.5, 16.5, 16.5]), axis=1)
+    assert d.min() < 3.0, f"blob missed in input coords: {un.xyz[d.argmin()]}"
+
+
 def test_featextract_cli_debug_pgm(tmp_path, rng, monkeypatch):
     """--debug-pgm writes the input mid-slice (image.pgm, reference name
     MultiScale.cpp:305-313) AND one G1 blur slice per octave
