@@ -85,7 +85,7 @@ def main() -> int:
             "(bin/Linux/featExtract, CPU). 'fullsize' covers the exact "
             "bench/README configuration (182x218x182 MNI T1 grid) plus a "
             "non-pow-2 ~250^3 grid (VERDICT r3 #2) — correctness at full T1 "
-            "scale is now measured, not asserted. The CPU-control section "
+            "scale is now measured, not asserted. The CPU-control section (6 cells incl. BOTH residual-divergence -w cells, exact there) "
             "re-runs cells with our pipeline forced to the CPU backend: "
             "residual TPU-cell divergence that disappears under the control "
             "is backend float rounding flipping borderline extrema/peaks "
