@@ -145,14 +145,15 @@ def main() -> None:
     deadline = time.monotonic() + budget
     best_vps = -1.0
     best_obj = None
-    attempt_vps = []  # every successful attempt's value (all batch sizes)
+    best_batch = None
+    attempt_vps = []  # (batch, vps) for every successful attempt
 
     def attempt(batch: int, n_runs: int, cap_s: float):
         """Run one batch in a subprocess.
 
         Returns (status, vps): status 'ok'/'oom'/'fail'/'budget', vps the
         attempt's volumes/sec (-1 unless ok)."""
-        nonlocal best_vps, best_obj
+        nonlocal best_vps, best_obj, best_batch
         remaining = deadline - time.monotonic()
         if remaining < 30.0:
             return "budget", -1.0
@@ -174,10 +175,11 @@ def main() -> None:
         if proc.returncode == 0 and line:
             obj = json.loads(line)
             vps = obj["value"]
-            attempt_vps.append(vps)
+            attempt_vps.append((batch, vps))
             if vps > best_vps:
                 best_vps = vps
                 best_obj = obj
+                best_batch = batch
                 print(line, flush=True)  # driver reads the LAST line
             return "ok", vps
         sys.stderr.write(proc.stderr[-4000:])
@@ -226,13 +228,20 @@ def main() -> None:
     if best_vps < 0:
         raise SystemExit("bench failed to produce any number (see stderr)")
 
-    # final line = best attempt + the median across ALL successful
-    # attempts: `value` stays the best (driver compatibility), while
-    # `median_value` makes round-over-round deltas interpretable under a
-    # relay whose throughput swings +-2x on minute timescales (the best
-    # is the optimistic tail of up to ~5 retries; VERDICT r3 weak #5)
-    best_obj["median_value"] = round(float(np.median(attempt_vps)), 4)
-    best_obj["n_attempts"] = len(attempt_vps)
+    # final line = best attempt + the median across attempts AT THE
+    # WINNING BATCH only: `value` stays the best (driver compatibility),
+    # while `median_value` makes round-over-round deltas interpretable
+    # under a relay whose throughput swings +-2x on minute timescales.
+    # Restricting to the winning batch keeps the attempt mix (batch-1
+    # phase-1 runs, OOM step-down rungs) from shifting the median
+    # (ADVICE r4); per-batch attempt counts ride along for context.
+    win_vps = [v for b, v in attempt_vps if b == best_batch]
+    best_obj["median_value"] = round(float(np.median(win_vps)), 4)
+    best_obj["n_attempts"] = len(win_vps)
+    per_batch = {}
+    for b, _ in attempt_vps:
+        per_batch[str(b)] = per_batch.get(str(b), 0) + 1
+    best_obj["n_attempts_per_batch"] = per_batch
     print(json.dumps(best_obj), flush=True)
 
 

@@ -1,16 +1,22 @@
-"""Root-cause probe for the -2+ (doubled-volume) emission surplus.
+"""Root-cause probe for TPU-vs-CPU extrema divergence (-2+ and -w chains).
 
-PARITY_r03's residual divergence concentrates at -2+ cells: the TPU path
-emits up to 33% more features there (64^3 seed-3: 36 vs 27 unoriented),
-always MORE and always at -2+ (VERDICT r3 #4). This probe pins down
-which op's rounding flips the extra extrema candidates:
+PARITY_r03's residual divergence concentrated at -2+ cells: the TPU path
+emitted up to 33% more features there (64^3 seed-3: 36 vs 27 unoriented),
+always MORE and always at -2+ (VERDICT r3 #4) — root-caused by this probe
+to bf16x3 blur false extrema and fixed (HIGHEST blur on -2+). Round 5
+generalizes it to the residual -w cells (anisotropic-voxel trilinear
+resample -> blur; PARITY_r04 64^3/96^3 seed-3, VERDICT r4 #2) via
+--chain world. The probe pins down which op's rounding flips the
+divergent extrema candidates:
 
-  1. the same doubled pyramid is computed by four chains —
-     cpu-f32 (matches the reference binary exactly, 9/9 EXACT control),
+  1. the same pyramid is computed by four chains —
+     cpu-f32 (matches the reference binary exactly: 9/9 EXACT -2+
+     control, both residual -w cells EXACT on CPU),
      tpu-high (production: blur matmuls at bf16x3),
      tpu-highest (SIFT3D_BLUR_MATMUL_PRECISION=highest: f32 MXU passes),
-     f64 (numpy replication of double_size + banded blurs + DoG +
-     80-neighbor stencil, SAME f32 tap values, f64 accumulation) —
+     f64 (numpy replication of double_size / isotropic resample + banded
+     blurs + DoG + 80-neighbor stencil, SAME f32 tap values and f32
+     interpolation weights, f64 accumulation) —
      each dumping every octave's extrema-candidate set;
   2. the driver diffs the sets and scores every disputed candidate
      against the f64 ground truth: is it a true extremum in f64, and
@@ -26,6 +32,7 @@ already suggested, but now attributed per-op.
 
 Usage:
   python scripts/doubled_surplus_probe.py --driver [--dims 64 --seed 3]
+      [--chain doubled|world] [--voxel 1,1,1.5]
   (single-chain mode, used by the driver itself:
    python scripts/doubled_surplus_probe.py --mode f64 --out x.npz)
 """
@@ -89,6 +96,44 @@ def double_size64(vol):
     return out
 
 
+def resample64(vol, voxel):
+    """f64 isotropic resample with the SAME f32 interpolation weights the
+    jax chains compute (resample.isotropic_resample: coords built in f32,
+    0.5-center convention of _fioDetermineInterpCoord) — so the only
+    difference vs the f32 chains is blend accumulation precision."""
+    dx, dy, dz = [float(v) for v in voxel]
+    dmin = min(dx, dy, dz)
+    zd, yd, xd = vol.shape
+    oz, oy, ox = int(zd * dz / dmin), int(yd * dy / dmin), int(xd * dx / dmin)
+
+    def coords(o, f, dim):
+        c = np.arange(o, dtype=np.float32) * np.float32(f) + np.float32(0.5)
+        ch = c - np.float32(0.5)
+        i = np.clip(np.floor(ch).astype(np.int64), 0, dim - 2)
+        w = np.float32(1.0) - (ch - i.astype(np.float32))
+        w = np.where(c < np.float32(0.5), np.float32(1.0), w)
+        w = np.where(c >= np.float32(dim) - np.float32(0.5), np.float32(0.0), w)
+        return i, w.astype(np.float64)
+
+    iz, wz = coords(oz, dmin / dz, zd)
+    iy, wy = coords(oy, dmin / dy, yd)
+    ix, wx = coords(ox, dmin / dx, xd)
+    v = vol.astype(np.float64)
+
+    def g(dzo, dyo, dxo):
+        return v[np.ix_(iz + dzo, iy + dyo, ix + dxo)]
+
+    wxb = wx[None, None, :]
+    n00 = wxb * g(0, 0, 0) + (1.0 - wxb) * g(0, 0, 1)
+    n10 = wxb * g(0, 1, 0) + (1.0 - wxb) * g(0, 1, 1)
+    n01 = wxb * g(1, 0, 0) + (1.0 - wxb) * g(1, 0, 1)
+    n11 = wxb * g(1, 1, 0) + (1.0 - wxb) * g(1, 1, 1)
+    wyb = wy[None, :, None]
+    nn0 = wyb * n00 + (1.0 - wyb) * n10
+    nn1 = wyb * n01 + (1.0 - wyb) * n11
+    return wz[:, None, None] * nn0 + (1.0 - wz[:, None, None]) * nn1
+
+
 def subsample64(vol):
     z2, y2, x2 = (d // 2 for d in vol.shape)
     v = vol[: 2 * z2, : 2 * y2, : 2 * x2].reshape(z2, 2, y2, 2, x2, 2)
@@ -131,12 +176,13 @@ def extrema_margins64(dogs):
     return mask, margin
 
 
-def run_f64(vol, cfg, initial_scale, out_path):
+def run_f64(vol, cfg, initial_scale, out_path, chain="doubled", voxel=None):
     import math
 
     sigma_init = cfg.sigma_init / initial_scale
+    src = double_size64(vol) if chain == "doubled" else resample64(vol, voxel)
     base = blur3d64(
-        double_size64(vol),
+        src,
         math.sqrt(max(cfg.sigma_base**2 - sigma_init**2, 0.0)),
         cfg.blur_precision,
     )
@@ -162,16 +208,18 @@ def run_f64(vol, cfg, initial_scale, out_path):
 # ---------------------------------------------------------------------------
 
 
-def run_jax(vol, cfg, initial_scale, out_path):
+def run_jax(vol, cfg, initial_scale, out_path, chain="doubled", voxel=None):
     import jax
     import jax.numpy as jnp
 
-    from sift3d.kernels.resample import double_size
+    from sift3d.kernels.resample import double_size, isotropic_resample
     from sift3d.pipeline import pyramid
 
-    base = pyramid.initial_blur_core(
-        double_size(jnp.asarray(vol)), cfg, initial_scale
-    )
+    if chain == "doubled":
+        src = double_size(jnp.asarray(vol))
+    else:
+        src, _ = isotropic_resample(jnp.asarray(vol), voxel)
+    base = pyramid.initial_blur_core(src, cfg, initial_scale)
     payload = {}
     octave = 0
     while all(d > 2 for d in base.shape):
@@ -197,23 +245,36 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dims", type=int, default=64)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--chain", choices=["doubled", "world"], default="doubled",
+                    help="doubled = the -2+ path; world = the -w path "
+                         "(anisotropic trilinear resample, featExtract.cpp:118-204)")
+    ap.add_argument("--voxel", default="1,1,1.5",
+                    help="world-chain voxel size (x,y,z) — the parity "
+                         "sweep's -w cells use 1,1,1.5")
     ap.add_argument("--mode", choices=["jax", "f64"], default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--driver", action="store_true")
-    ap.add_argument("--json", default="doubled_surplus_probe.json")
+    ap.add_argument("--json", default=None)
     args = ap.parse_args()
+    if args.json is None:
+        args.json = ("doubled_surplus_probe.json" if args.chain == "doubled"
+                     else "world_surplus_probe.json")
 
     from sift3d.core.config import DEFAULT_CONFIG
 
     cfg = DEFAULT_CONFIG
     vol = synthetic_volume(args.dims, args.seed)
-    initial_scale = 0.5  # the -2+ path (featExtract.cpp:368-379)
+    voxel = tuple(float(v) for v in args.voxel.split(","))
+    # -2+ runs the half-scale initial blur (featExtract.cpp:368-379);
+    # -w keeps scale 1.0 — the resample changes the grid, not the scale
+    initial_scale = 0.5 if args.chain == "doubled" else 1.0
 
     if args.mode == "f64":
-        run_f64(vol.astype(np.float64), cfg, initial_scale, args.out)
+        run_f64(vol.astype(np.float64), cfg, initial_scale, args.out,
+                args.chain, voxel)
         return 0
     if args.mode == "jax":
-        run_jax(vol, cfg, initial_scale, args.out)
+        run_jax(vol, cfg, initial_scale, args.out, args.chain, voxel)
         return 0
     assert args.driver, "pass --driver or --mode"
 
@@ -231,8 +292,10 @@ def main() -> int:
     for name, env_extra, mode in runs:
         out = os.path.join(tmp, f"{name}.npz")
         env = dict(os.environ, **env_extra)
-        cmd = [sys.executable, me, "--mode", mode, "--out", out,
-               "--dims", str(args.dims), "--seed", str(args.seed)]
+        child_argv = [me, "--mode", mode, "--out", out,
+                      "--dims", str(args.dims), "--seed", str(args.seed),
+                      "--chain", args.chain, "--voxel", args.voxel]
+        cmd = [sys.executable] + child_argv
         if name == "cpu_f32":
             # force the CPU platform inside the child BEFORE any jax API
             # call (env JAX_PLATFORMS is snapshotted at interpreter start
@@ -240,18 +303,32 @@ def main() -> int:
             cmd = [sys.executable, "-c",
                    "import jax; jax.config.update('jax_platforms','cpu');"
                    "import runpy, sys; sys.argv=%r; runpy.run_path(%r, run_name='__main__')"
-                   % ([me, "--mode", mode, "--out", out, "--dims", str(args.dims),
-                       "--seed", str(args.seed)], me)]
+                   % (child_argv, me)]
         print(f"running chain {name} ...", flush=True)
         r = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
         if r.returncode != 0:
             print(r.stderr[-2000:], file=sys.stderr)
             raise RuntimeError(f"chain {name} failed")
         chains[name] = np.load(out, allow_pickle=False)
+        # the chain labels are claims about the platform: fail loudly if a
+        # 'tpu_*' chain silently ran on CPU (e.g. this host has no TPU) —
+        # otherwise the probe compares CPU-vs-CPU under TPU labels (ADVICE r4)
+        if "backend" in chains[name]:
+            backend = str(chains[name]["backend"])
+            if name.startswith("cpu") and backend != "cpu":
+                raise RuntimeError(f"chain {name} ran on backend {backend!r}, expected cpu")
+            if name.startswith("tpu") and backend == "cpu":
+                raise RuntimeError(
+                    f"chain {name} ran on backend 'cpu' — no TPU visible; "
+                    "the probe's TPU labels would be lies. Run where the TPU "
+                    "backend registers."
+                )
 
     f64d = chains["f64"]
     n_oct = int(f64d["n_oct"])
-    report = {"dims": args.dims, "seed": args.seed, "octaves": {}}
+    report = {"dims": args.dims, "seed": args.seed, "chain": args.chain,
+              "voxel": list(voxel) if args.chain == "world" else None,
+              "octaves": {}}
     for o in range(n_oct):
         sets = {}
         for name in ("cpu_f32", "tpu_high", "tpu_highest", "f64"):

@@ -109,14 +109,28 @@ _PRECISIONS = {
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
-_BLUR_PRECISION = _PRECISIONS[_os.environ.get("SIFT3D_BLUR_MATMUL_PRECISION", "high")]
+
+
+def _precision_from_name(name: str, source: str) -> jax.lax.Precision:
+    try:
+        return _PRECISIONS[name]
+    except KeyError:
+        raise ValueError(
+            f"{source} must be one of {sorted(_PRECISIONS)} (got {name!r})"
+        ) from None
+
+
+_BLUR_PRECISION = _precision_from_name(
+    _os.environ.get("SIFT3D_BLUR_MATMUL_PRECISION", "high"),
+    "SIFT3D_BLUR_MATMUL_PRECISION",
+)
 
 
 def _resolve_precision(matmul_precision):
     """None -> the module default (env-overridable); else by name."""
     if matmul_precision is None:
         return _BLUR_PRECISION
-    return _PRECISIONS[matmul_precision]
+    return _precision_from_name(matmul_precision, "matmul_precision")
 
 
 def blur_axis(vol: jnp.ndarray, axis: int, sigma: float, min_value: float,

@@ -93,11 +93,11 @@ class GroupMatcher:
     def search_image(self, img_idx: int, knn_dists=None, knn_idx=None) -> GroupVoteResult:
         """SearchSelf for one image; returns its vote/count/LL rows.
 
-        Vectorized implementation; `_search_image_loop` below is the
+        Delegates to the batched all-query core (`_vote_all`) with a
+        constant query-image map; `_search_image_loop` below is the
         direct line-by-line port kept as the oracle for tests.
         """
-        cfg = self.cfg
-        k = min(cfg.knn_neighbors, len(self.feat_img))
+        k = min(self.cfg.knn_neighbors, len(self.feat_img))
         lo, hi = self.img_start[img_idx], self.img_idx_end(img_idx)
         queries = self.db[lo:hi]
         if knn_dists is None:
@@ -106,14 +106,41 @@ class GroupMatcher:
             knn_dists, knn_idx = knn_search_tiled(queries, jnp.asarray(self.db), k)
         idx = np.asarray(knn_idx)[:, :k]
         dist = np.asarray(knn_dists)[:, :k].astype(np.float64)
-        q = idx.shape[0]
+        q_img = np.full(idx.shape[0], img_idx, np.int64)
+        votes, counts, ll = self._vote_all(dist, idx, q_img)
+        return GroupVoteResult(
+            votes=votes[img_idx][None],
+            counts=counts[img_idx][None],
+            log_likelihood=ll[img_idx][None],
+        )
+
+    def _vote_all(self, dist: np.ndarray, idx: np.ndarray, q_img: np.ndarray):
+        """Batched SearchSelf over an arbitrary mixed-image query set.
+
+        One numpy pass over all queries at once — the reference's
+        per-image OpenMP chunks (featMatchMultiple.cpp:108-117) and the
+        round-4 per-image Python loop both collapse into segment
+        reductions keyed on the query's image. Semantics identical to
+        `_search_image_loop` (oracle-tested): the per-(query-image)
+        best-vote dedup becomes a np.unique over combined
+        (query image, db feature) keys, the leave-one-image-out prior a
+        [n_img, n_labels] table indexed per query.
+
+        Returns (votes, counts, ll), each [n_img, n_labels]; images with
+        no queries in `q_img` get zero rows.
+        """
+        cfg = self.cfg
+        n_img, n_labels = self.n_img, self.n_labels
+        votes = np.zeros((n_img, n_labels), np.float64)
+        counts = np.zeros((n_img, n_labels), np.int64)
+        ll = np.zeros((n_img, n_labels), np.float64)
+        q, k = idx.shape
         if q == 0 or k == 0:
-            z = np.zeros((1, self.n_labels))
-            return GroupVoteResult(z.copy(), z.astype(np.int64), z.copy())
+            return votes, counts, ll
 
         img = self.feat_img[idx]  # [Q, k]
         lab = self.feat_label[idx]
-        own = img == img_idx
+        own = img == q_img[:, None]
         # one vote per target image, ascending-distance order: drop j if any
         # earlier accepted j' hits the same image (k is tiny: k^2 compare)
         acc = ~own
@@ -133,38 +160,42 @@ class GroupMatcher:
         wn = np.zeros_like(w)
         wn[ok] = np.log(w[ok] / sw[ok, None] + cfg.softvote_eta) / np.log(cfg.softvote_eta + 1.0)
 
-        # leave-one-image-out prior (:1597-1599)
-        img_label = int(self.labels[img_idx])
-        prior = self.label_prior.copy()
-        prior[img_label] -= (hi - lo) / self.total_prior_denom
+        # leave-one-image-out priors, one row per query image (:1597-1599)
+        n_per_img = (self.img_start[1:] - self.img_start[:-1]).astype(np.float64)
+        priors = np.tile(self.label_prior, (n_img, 1))
+        np.subtract.at(priors, (np.arange(n_img), self.labels),
+                       n_per_img / self.total_prior_denom)
 
         use = acc & ok[:, None]
         fi = idx[use]
         wv = wn[use]
-        lv = lab[use]
-        votes = np.zeros(self.n_labels, np.float64)
-        counts = np.zeros(self.n_labels, np.int64)
+        qi = np.broadcast_to(q_img[:, None], idx.shape)[use]
         if fi.size:
-            # best-vote-wins dedup per db feature (:1764-1786)
-            uniq, inv = np.unique(fi, return_inverse=True)
+            # best-vote-wins dedup per (query image, db feature) (:1764-1786)
+            key = qi * np.int64(len(self.feat_img)) + fi
+            uniq, inv = np.unique(key, return_inverse=True)
             maxw = np.full(uniq.shape, -np.inf)
             np.maximum.at(maxw, inv, wv)
-            ulab = self.feat_label[uniq]
-            np.add.at(votes, ulab, maxw)
-            np.add.at(counts, ulab, 1)
+            uimg = (uniq // len(self.feat_img)).astype(np.int64)
+            ulab = self.feat_label[uniq % len(self.feat_img)]
+            np.add.at(votes, (uimg, ulab), maxw)
+            np.add.at(counts, (uimg, ulab), 1)
 
         # per-query label log-likelihood (:1767-1809)
-        ll = np.zeros(self.n_labels, np.float64)
         qsel = np.nonzero(ok)[0]
         if qsel.size:
+            p_q = priors[q_img]  # [Q, n_labels]
             expo = dist / (min_dist[:, None] + 1.0)
-            contrib = np.where(use, np.exp(-(expo**2)), 0.0) / prior[lab]
-            lcounts = np.tile(prior, (len(qsel), 1))
+            contrib = np.where(use, np.exp(-(expo**2)), 0.0) / np.take_along_axis(
+                p_q, lab, axis=1
+            )
+            lcounts = p_q[qsel].copy()
             np.add.at(lcounts, (np.repeat(np.arange(len(qsel)), k), lab[qsel].ravel()),
                       contrib[qsel].ravel())
-            ll = np.log(lcounts / lcounts.sum(axis=1, keepdims=True)).sum(axis=0)
+            ll_rows = np.log(lcounts / lcounts.sum(axis=1, keepdims=True))
+            np.add.at(ll, q_img[qsel], ll_rows)
 
-        return GroupVoteResult(votes=votes[None], counts=counts[None], log_likelihood=ll[None])
+        return votes, counts, ll
 
     def _search_image_loop(self, img_idx: int, knn_dists=None, knn_idx=None) -> GroupVoteResult:
         """Line-by-line port of msNearestNeighborApproximateSearchSelf (oracle)."""
@@ -269,15 +300,14 @@ class GroupMatcher:
             # knn_search_tiled batches all tiles' device fetches and returns
             # host arrays, so the per-image slices below are free
             dists, idx = knn_search_tiled(self.db, jnp.asarray(self.db), k)
-        votes = np.zeros((self.n_img, self.n_labels), np.float64)
-        counts = np.zeros((self.n_img, self.n_labels), np.int64)
-        ll = np.zeros((self.n_img, self.n_labels), np.float64)
-        for i in range(self.n_img):
-            lo, hi = self.img_start[i], self.img_start[i + 1]
-            r = self.search_image(i, dists[lo:hi], idx[lo:hi])
-            votes[i] = r.votes[0]
-            counts[i] = r.counts[0]
-            ll[i] = r.log_likelihood[0]
+        if k == 0 or not len(self.db):
+            z = np.zeros((self.n_img, self.n_labels))
+            return GroupVoteResult(z.copy(), z.astype(np.int64), z.copy())
+        votes, counts, ll = self._vote_all(
+            np.asarray(dists)[:, :k].astype(np.float64),
+            np.asarray(idx)[:, :k],
+            self.feat_img,
+        )
         return GroupVoteResult(votes=votes, counts=counts, log_likelihood=ll)
 
 

@@ -54,7 +54,8 @@ def write_pyramid_slices(data, cfg, initial_image_scale: float = 1.0,
     for octave in range(num_octaves(data.shape, cfg)):
         levels = [base]
         for j in range(1, cfg.blurs_per_octave + 1):
-            levels.append(gauss.blur3d(levels[-1], inc[j - 1], cfg.blur_precision))
+            levels.append(gauss.blur3d(levels[-1], inc[j - 1], cfg.blur_precision,
+                                       matmul_precision=cfg.blur_matmul_precision))
         path = f"{prefix}_o{octave}.pgm"
         write_volume_slice(path, np.asarray(levels[1]))
         paths.append(path)

@@ -151,6 +151,22 @@ def test_group_vote_vectorized_matches_loop_oracle(rng):
         np.testing.assert_allclose(fast.log_likelihood, slow.log_likelihood, rtol=1e-8)
 
 
+def test_group_vote_batched_all_to_all_matches_loop_oracle(rng):
+    """match_all_to_all now runs ONE batched _vote_all pass over every
+    image's queries (the study-scale path, VERDICT r4 #5); it must equal
+    the per-image line-by-line oracle rows stacked."""
+    sets = [_random_feats(12 + i, rng) for i in range(5)]
+    sets[3].desc[:4] = sets[0].desc[:4]  # exact duplicates across images
+    sets[4].desc[:6] = sets[1].desc[:6] + rng.normal(0, 0.05, (6, 64)).astype(np.float32)
+    gm = groupvote.GroupMatcher(sets, labels=[0, 1, 1, 2, 0])
+    got = gm.match_all_to_all()
+    for i in range(5):
+        want = gm._search_image_loop(i)
+        np.testing.assert_allclose(got.votes[i], want.votes[0], rtol=1e-10)
+        np.testing.assert_array_equal(got.counts[i], want.counts[0])
+        np.testing.assert_allclose(got.log_likelihood[i], want.log_likelihood[0], rtol=1e-8)
+
+
 def test_ratio_match_equals_sequential_oracle(rng):
     """The vectorized closed-form shuffle must EQUAL the line-level port of
     msComputeNearestNeighborDistanceRatioInfo (featMatchUtilities.cpp:
