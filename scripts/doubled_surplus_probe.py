@@ -358,20 +358,36 @@ def main() -> int:
         print(f"octave {o}: counts {rep['counts']}; "
               f"tpu-only {len(rep['tpu_minus_cpu'])}, cpu-only {len(rep['cpu_minus_tpu'])}")
 
-    # summary verdicts
+    # summary verdicts — both directions (the -2+ cells diverged as TPU
+    # surplus; the -w cells show BOTH surplus and deficit, PARITY_r04)
+    summary = {}
     tpu_only = [r for o in report["octaves"].values() for r in o["tpu_minus_cpu"]]
     if tpu_only:
-        true_frac = np.mean([r["f64_extremum"] for r in tpu_only])
         margins = [abs(r["f64_margin"]) for r in tpu_only]
-        fixed_frac = np.mean([not r["in_tpu_highest"] for r in tpu_only])
-        report["summary"] = {
+        summary.update({
             "tpu_surplus_candidates": len(tpu_only),
-            "fraction_true_in_f64": round(float(true_frac), 3),
-            "abs_f64_margin_median": float(np.median(margins)),
-            "abs_f64_margin_max": float(np.max(margins)),
-            "fraction_removed_by_highest_blur": round(float(fixed_frac), 3),
-        }
-        print("summary:", json.dumps(report["summary"], indent=1))
+            "surplus_fraction_true_in_f64": round(
+                float(np.mean([r["f64_extremum"] for r in tpu_only])), 3),
+            "surplus_abs_f64_margin_median": float(np.median(margins)),
+            "surplus_abs_f64_margin_max": float(np.max(margins)),
+            "surplus_fraction_removed_by_highest_blur": round(
+                float(np.mean([not r["in_tpu_highest"] for r in tpu_only])), 3),
+        })
+    cpu_only = [r for o in report["octaves"].values() for r in o["cpu_minus_tpu"]]
+    if cpu_only:
+        margins = [abs(r["f64_margin"]) for r in cpu_only]
+        summary.update({
+            "tpu_deficit_candidates": len(cpu_only),
+            "deficit_fraction_true_in_f64": round(
+                float(np.mean([r["f64_extremum"] for r in cpu_only])), 3),
+            "deficit_abs_f64_margin_median": float(np.median(margins)),
+            "deficit_abs_f64_margin_max": float(np.max(margins)),
+            "deficit_fraction_restored_by_highest_blur": round(
+                float(np.mean([r["in_tpu_highest"] for r in cpu_only])), 3),
+        })
+    if summary:
+        report["summary"] = summary
+        print("summary:", json.dumps(summary, indent=1))
     with open(args.json, "wt") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {args.json}")

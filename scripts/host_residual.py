@@ -42,6 +42,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=12)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--streams", type=int, default=1,
+                    help="software-pipeline streams (bench uses batch//4); "
+                         "run WITHOUT SIFT3D_SYNC_PHASES to measure whether "
+                         "streams mode actually overlaps the host work "
+                         "(VERDICT r4 #6) — host stages are real host time "
+                         "either way, wall is the streams-mode wall")
     ap.add_argument("--json", default="host_residual.json")
     args = ap.parse_args()
 
@@ -60,13 +66,13 @@ def main() -> int:
     enable_compilation_cache()
     vols = [synthetic_t1(seed=7 + i) for i in range(args.batch)]
     # warmup / compile
-    extract_features_many(vols, DEFAULT_CONFIG)
+    extract_features_many(vols, DEFAULT_CONFIG, streams=args.streams)
 
     timer = StageTimer(enabled=True)
     walls = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
-        extract_features_many(vols, DEFAULT_CONFIG, timer=timer)
+        extract_features_many(vols, DEFAULT_CONFIG, timer=timer, streams=args.streams)
         walls.append(time.perf_counter() - t0)
 
     n_vol = args.batch * args.runs
@@ -88,6 +94,7 @@ def main() -> int:
         "backend": jax.default_backend(),
         "batch": args.batch,
         "runs": args.runs,
+        "streams": args.streams,
         "sync_phases": bool(os.environ.get("SIFT3D_SYNC_PHASES")),
         "wall_ms_per_volume": round(wall_ms / n_vol, 3),
         "host_ms_per_volume": round(host_ms / n_vol, 3),
