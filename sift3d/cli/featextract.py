@@ -108,17 +108,28 @@ def main(argv=None) -> int:
     dx, dy, dz = vol.voxel_size
     world = vol.world_matrix(use_sform=(world_coords == 2)).copy()
 
+    resampled = False
     if isotropic and (dx != dy or dy != dz or dx != dz):
         data, dmin = isotropic_resample(data, vol.voxel_size)
         # rescale the direction cosines per column (featExtract.cpp:162-176)
         factors = np.array([dmin / dx, dmin / dy, dmin / dz])
         world[:3, :3] = world[:3, :3] * factors[None, :]
         dx = dy = dz = dmin
+        resampled = True
 
     import dataclasses
 
     cfg = DEFAULT_CONFIG
     initial_scale = 1.0
+    if resampled:
+        # the -w resampled chain gets the same HIGHEST-blur treatment as
+        # -2+: the round-5 f64 probe (--chain world) showed every
+        # TPU-surplus extremum on resampled volumes is a bf16x3 tie-flip
+        # (|f64 margin| <= 3e-6, 100% removed by HIGHEST; the 64^3 cell
+        # becomes exact). Residual 96^3 divergence is ~2e-9-margin ties
+        # the trilinear lattice itself creates — unstable in ANY f32
+        # backend (world_surplus_probe_{64,96}.json).
+        cfg = dataclasses.replace(cfg, blur_matmul_precision="highest")
     if double_image == 1:
         # doubled-volume blur chains run the MXU blur at full f32: the
         # bf16x3 default emits false extrema there (every TPU-surplus
