@@ -122,19 +122,16 @@ def main(argv=None) -> int:
     cfg = DEFAULT_CONFIG
     initial_scale = 1.0
     if resampled:
-        # the -w resampled chain gets the same HIGHEST-blur treatment as
-        # -2+: the round-5 f64 probe (--chain world) showed every
-        # TPU-surplus extremum on resampled volumes is a bf16x3 tie-flip
-        # (|f64 margin| <= 3e-6, 100% removed by HIGHEST; the 64^3 cell
-        # becomes exact). Residual 96^3 divergence is ~2e-9-margin ties
-        # the trilinear lattice itself creates — unstable in ANY f32
-        # backend (world_surplus_probe_{64,96}.json).
+        # -w resampled chains REQUIRE HIGHEST blur (f64-probe-attributed
+        # bf16x3 tie-flips, world_surplus_probe_{64,96}.json). HIGHEST
+        # is the module default since round 5; this explicit pin keeps
+        # the guarantee even if the env default is lowered for speed
+        # experiments.
         cfg = dataclasses.replace(cfg, blur_matmul_precision="highest")
     if double_image == 1:
-        # doubled-volume blur chains run the MXU blur at full f32: the
-        # bf16x3 default emits false extrema there (every TPU-surplus
-        # candidate of the -2+ parity cells failed f64 re-validation and
-        # HIGHEST removes them all — scripts/doubled_surplus_probe.py)
+        # -2+ doubled chains REQUIRE HIGHEST blur (round-4 f64 probe:
+        # every TPU-surplus candidate was a bf16x3 false positive).
+        # Explicit pin for the same reason as -w above.
         cfg = dataclasses.replace(cfg, blur_matmul_precision="highest")
         data = double_size(data)
         initial_scale = 0.5

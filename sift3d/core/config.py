@@ -37,13 +37,15 @@ class SiftConfig:
     blurs_per_octave: int = 3
     blurs_extra: int = 3
     blur_precision: float = 0.01
-    # MXU precision of the banded blur matmuls: "high" (bf16x3, ~1e-6
-    # relative, parity-validated at native resolution) or "highest"
-    # (full f32). The -2+ CLI path switches to "highest": on doubled
-    # volumes the bf16x3 chain emits false extrema that f64 replication
-    # disowns and HIGHEST eliminates (scripts/doubled_surplus_probe.py,
-    # round 4). None (default) defers to the SIFT3D_BLUR_MATMUL_PRECISION
-    # env default in kernels/gauss.py ("high" unless overridden).
+    # MXU precision of the banded blur matmuls: "highest" (full f32,
+    # the default since round 5) or "high" (bf16x3, ~1e-6 relative).
+    # bf16x3 flips tie-margin extrema — false extrema on -2+ doubled
+    # volumes and resampled -w volumes (f64-probe-attributed, rounds
+    # 4-5) and ~6% of keypoints in the dense regime (PARITY_r05_dense)
+    # — while HIGHEST measured free end-to-end (the blur chain is
+    # bandwidth-bound). None (default) defers to the
+    # SIFT3D_BLUR_MATMUL_PRECISION env default in kernels/gauss.py
+    # ("highest" unless overridden).
     blur_matmul_precision: "str | None" = None
     sigma_base: float = 1.6
     sigma_init: float = 0.5

@@ -96,12 +96,15 @@ def _banded_matrix(dim: int, sigma: float, min_value: float) -> np.ndarray:
 
 # Blur matmuls must not run at the TPU default f32 einsum precision (one
 # bf16 MXU pass, ~1e-2 relative error): that perturbs DoG extrema and
-# breaks parity with the f32 reference. HIGH (bf16x3, ~1e-6 relative) is
-# indistinguishable from the reference in keypoint repeatability and
-# descriptor tests while halving MXU passes vs HIGHEST.
-# SIFT3D_BLUR_MATMUL_PRECISION=highest opts into full-f32 MXU passes —
-# the knob the -2+ emission-surplus probe flips (VERDICT r3 #4; the
-# doubled-volume blur chain is the suspected rounding-sensitive spot).
+# breaks parity with the f32 reference. The default is HIGHEST
+# (full-f32-equivalent MXU passes) since round 5: HIGH (bf16x3, ~1e-6
+# relative) flips tie-margin extrema — a handful on sparse volumes
+# (the -2+/-w probe cells) but ~6% of keypoints in the dense regime
+# (PARITY_r05_dense: repeatability 0.938 at HIGH vs 0.9956 at HIGHEST)
+# — while HIGHEST measured FREE end-to-end in three paired 12/3 A/Bs
+# (24.19/24.18, 23.73/24.30; the blur chain is bandwidth-bound, so the
+# extra MXU passes hide). SIFT3D_BLUR_MATMUL_PRECISION=high restores
+# the bf16x3 passes for speed experiments.
 # Snapshotted at import: the value is baked into jitted programs.
 import os as _os
 
@@ -121,7 +124,7 @@ def _precision_from_name(name: str, source: str) -> jax.lax.Precision:
 
 
 _BLUR_PRECISION = _precision_from_name(
-    _os.environ.get("SIFT3D_BLUR_MATMUL_PRECISION", "high"),
+    _os.environ.get("SIFT3D_BLUR_MATMUL_PRECISION", "highest"),
     "SIFT3D_BLUR_MATMUL_PRECISION",
 )
 
@@ -158,11 +161,13 @@ def blur3d(vol: jnp.ndarray, sigma: float, min_value: float = 0.01,
     paths: x pass, then y, then z (pass order does not change the result
     for separable filters; the reference also runs x->y->z).
 
-    matmul_precision: "high" (default, bf16x3) or "highest" (full f32).
-    -2+ (doubled-volume) pipelines pass "highest": the round-4 f64 probe
-    (scripts/doubled_surplus_probe.py) showed every surplus extremum the
-    TPU emitted on doubled volumes was a bf16x3 false positive, and
-    HIGHEST removes 100% of them (doubled_surplus_probe.json).
+    matmul_precision: "highest" (default since round 5, full f32) or
+    "high" (bf16x3). The f64 probes (scripts/doubled_surplus_probe.py)
+    showed bf16x3 flips tie-margin extrema on -2+ doubled and -w
+    resampled chains, and the dense full-size parity cell showed the
+    same class costs ~6% keypoint repeatability at high feature
+    density; HIGHEST removes all of it at measured-zero end-to-end
+    cost (PERFORMANCE.md round 5).
     """
     if sigma <= 0.0:
         return vol
