@@ -221,8 +221,14 @@ def main() -> None:
     # while budget remains, re-run the winning batch — attempt() prints a
     # new line only when it beats the best so far (compile caches are hot,
     # so each retry costs just its timing loop).
+    fails = 0
     while won is not None and deadline - time.monotonic() > 150.0:
-        if attempt(won, n_runs=5, cap_s=240.0)[0] != "ok":
+        status = attempt(won, n_runs=5, cap_s=240.0)[0]
+        if status == "ok":
+            fails = 0
+        elif status == "fail" and fails < 2:
+            fails += 1  # one flaky relay child shouldn't end the sampling
+        else:
             break
 
     if best_vps < 0:

@@ -227,7 +227,7 @@ def _taps_transposed(l, b: int, hi):
     )
 
 
-def _id_slab_kernel(offs_ref, cnt_ref, ux_ref, uy_ref, uz_ref,
+def _id_slab_kernel(y_align, offs_ref, cnt_ref, ux_ref, uy_ref, uz_ref,
                     g_ref, out_ref, slab_s, sem):
     """Per-row identity-orientation patch: DMA a full-x slab of the row's
     bounding region (double-buffered), cut the x window with a lane roll,
@@ -247,9 +247,9 @@ def _id_slab_kernel(offs_ref, cnt_ref, ux_ref, uy_ref, uz_ref,
     cnt = cnt_ref[0]
 
     def copy(row, slot):
-        l, z0, y8 = offs_ref[0, row], offs_ref[1, row], offs_ref[2, row]
+        l, z0, ya = offs_ref[0, row], offs_ref[1, row], offs_ref[2, row]
         return pltpu.make_async_copy(
-            g_ref.at[l, pl.ds(z0, bz), pl.ds(y8 * 8, by_dma), :],
+            g_ref.at[l, pl.ds(z0, bz), pl.ds(ya * y_align, by_dma), :],
             slab_s.at[slot],
             sem.at[slot],
         )
@@ -268,7 +268,9 @@ def _id_slab_kernel(offs_ref, cnt_ref, ux_ref, uy_ref, uz_ref,
         x0 = offs_ref[3, i]
         y_hi = offs_ref[4, i].astype(jnp.float32)
 
-        rolled = pltpu.roll(slab_s[i % 2], -x0, 2)
+        # bf16 slabs upcast in VMEM before the roll (Mosaic's dynamic
+        # rotate is 32-bit only); a same-dtype astype is a no-op for f32
+        rolled = pltpu.roll(slab_s[i % 2].astype(jnp.float32), -x0, 2)
         win = rolled[..., :_XWIN]  # [bz, by_dma, 64]
 
         nv = ux_ref.shape[-1]  # 16 (11 taps + lane padding)
@@ -316,20 +318,20 @@ def sample_patches_identity_slab(
     layout (y padded +8, x to a 128 multiple — pad_gstack_slab); the
     ~35 ms-per-octave-batch pad copy is then skipped. Without it the
     sampler pads internally."""
-    gs_p, (zd, yd, xd), padded = _slab_input(gstack, logical_dims)
+    gs_p, (zd, yd, xd), padded, apron = _slab_input(gstack, logical_dims)
     box = _BOX
-    bz, by_dma = box, box + 8
+    bz, by_dma = box, box + apron
     xp = gs_p.shape[-1]
     r = centers.shape[0]
 
     z0 = jnp.clip(jnp.floor(centers[:, 2]).astype(jnp.int32) - bz // 2, 0, zd - bz)
     y0 = jnp.clip(jnp.floor(centers[:, 1]).astype(jnp.int32) - box // 2, 0, yd - box)
-    y8 = y0 // 8
+    ya = y0 // apron
     x0 = jnp.clip(
         jnp.floor(centers[:, 0]).astype(jnp.int32) - _XWIN // 2, 0, xd - _XWIN
     )
-    y_hi = jnp.minimum((yd - 2) - y8 * 8, by_dma - 2)
-    offs = jnp.stack([lvl, z0, y8, x0, y_hi], axis=0).astype(jnp.int32)
+    y_hi = jnp.minimum((yd - 2) - ya * apron, by_dma - 2)
+    offs = jnp.stack([lvl, z0, ya, x0, y_hi], axis=0).astype(jnp.int32)
     cnt = (
         jnp.full((1,), r, jnp.int32)
         if count is None
@@ -350,7 +352,7 @@ def sample_patches_identity_slab(
         return jnp.pad(u, ((0, 0), (0, 16 - PATCH_DIM)))[:, None, :]
 
     ux = locals16(centers[:, 0], x0)
-    uy = locals16(centers[:, 1], y8 * 8)
+    uy = locals16(centers[:, 1], ya * apron)
     uz = locals16(centers[:, 2], z0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -366,12 +368,12 @@ def sample_patches_identity_slab(
             (1, PATCH_DIM, PATCH_DIM * 16), lambda i, o, c: (i, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, bz, by_dma, xp), jnp.float32),
+            pltpu.VMEM((2, bz, by_dma, xp), gs_p.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     vals = pl.pallas_call(
-        _id_slab_kernel,
+        functools.partial(_id_slab_kernel, apron),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (r, PATCH_DIM, PATCH_DIM * 16), jnp.float32
@@ -382,31 +384,37 @@ def sample_patches_identity_slab(
     return vals.reshape(r, PATCH_DIM, PATCH_DIM, 16)[..., :PATCH_DIM]
 
 
-def pad_gstack_slab(gstack: jnp.ndarray) -> jnp.ndarray:
+def pad_gstack_slab(gstack: jnp.ndarray, apron: int = 8) -> jnp.ndarray:
     """Pad a [..., Z, Y, X] Gaussian stack into the slab-DMA layout the
-    identity and rotated samplers require: +8 y apron (the provably
-    8-aligned slab origin can round down up to 7 rows), x to the
-    128-lane tile. Producers (extract._phase1_program on TPU) pay this
-    copy ONCE; both samplers then take `logical_dims` and skip their
-    internal pads (~35 ms per o0 batch-12 program each)."""
+    identity and rotated samplers require: +apron y rows (the provably
+    apron-aligned slab origin can round down up to apron-1 rows), x to
+    the 128-lane tile. Producers (extract._phase1_program on TPU) pay
+    this copy ONCE; both samplers then take `logical_dims` and skip
+    their internal pads (~35 ms per o0 batch-12 program each)."""
     xd = gstack.shape[-1]
     xp = -(-xd // 128) * 128
-    pad = [(0, 0)] * (gstack.ndim - 2) + [(0, 8), (0, xp - xd)]
+    pad = [(0, 0)] * (gstack.ndim - 2) + [(0, apron), (0, xp - xd)]
     return jnp.pad(gstack, pad)
 
 
 def _slab_input(gstack, logical_dims):
-    """Resolve (padded stack, logical dims, was_prepadded) for a slab
-    sampler: with logical_dims the input must already be in
-    pad_gstack_slab layout; otherwise pad here."""
+    """Resolve (padded stack, logical dims, was_prepadded, y apron) for
+    a slab sampler: with logical_dims the input must already be in
+    pad_gstack_slab layout; otherwise pad here.
+
+    The y apron doubles as the slab origin alignment, and Mosaic's DMA
+    sublane-alignment requirement is dtype-tiled: 8 rows for f32
+    (8, 128) tiles, 16 for bf16 (16, 128) tiles (SIFT3D_BF16_GSTACK)."""
     if logical_dims is not None:
         zd, yd, xd = logical_dims
+        assert gstack.dtype == jnp.float32, "prepad layout is f32-only"
         assert gstack.shape[-2] == yd + 8 and gstack.shape[-1] % 128 == 0, (
             gstack.shape, logical_dims,
         )
-        return gstack, (zd, yd, xd), True
+        return gstack, (zd, yd, xd), True, 8
     zd, yd, xd = gstack.shape[-3:]
-    return pad_gstack_slab(gstack), (zd, yd, xd), False
+    apron = 16 if gstack.dtype == jnp.bfloat16 else 8
+    return pad_gstack_slab(gstack, apron), (zd, yd, xd), False, apron
 
 
 def unpad_gstack_slab(gstack, logical_dims):
@@ -703,7 +711,7 @@ _XWIN = 64  # x sampling window (covers 2*sqrt(3)*8.06 + 1.5 < 32 half-width)
 _SLAB_VCHUNK = 128  # point chunk inside the slab kernel (VMEM headroom)
 
 
-def _rot_slab_kernel(xwin, offs_ref, cnt_ref, lz_ref, ly_ref, lx_ref,
+def _rot_slab_kernel(xwin, y_align, offs_ref, cnt_ref, lz_ref, ly_ref, lx_ref,
                      g_ref, out_ref, slab_s, sem):
     """Per-row step: DMA a full-x slab of the row's bounding region
     HBM->VMEM (double-buffered across rows), compact the x window with a
@@ -735,9 +743,9 @@ def _rot_slab_kernel(xwin, offs_ref, cnt_ref, lz_ref, ly_ref, lx_ref,
     def copy(row, slot):
         # offs is [5, R] (SMEM pads the minor dim to 128 lanes, so the
         # row-major [R, 5] layout would cost R*512 bytes of SMEM)
-        l, z0, y8 = offs_ref[0, row], offs_ref[1, row], offs_ref[2, row]
+        l, z0, ya = offs_ref[0, row], offs_ref[1, row], offs_ref[2, row]
         return pltpu.make_async_copy(
-            g_ref.at[l, pl.ds(z0, bz), pl.ds(y8 * 8, by_dma), :],
+            g_ref.at[l, pl.ds(z0, bz), pl.ds(ya * y_align, by_dma), :],
             slab_s.at[slot],
             sem.at[slot],
         )
@@ -761,7 +769,11 @@ def _rot_slab_kernel(xwin, offs_ref, cnt_ref, lz_ref, ly_ref, lx_ref,
         # carry y-group-member g's window (roll is cyclic per pack*xp row,
         # so every window lands at a static lane offset; the roll must
         # stay f32 - Mosaic's dynamic rotate is 32-bit only)
-        slab2 = slab_s[i % 2].reshape(bz, by_dma // pack, pack * xp)
+        # bf16 slabs upcast in VMEM before the roll (Mosaic's dynamic
+        # rotate is 32-bit only); a same-dtype astype is a no-op for f32
+        slab2 = slab_s[i % 2].astype(jnp.float32).reshape(
+            bz, by_dma // pack, pack * xp
+        )
         rolled = pltpu.roll(slab2, -x0, 2)
         win = jnp.concatenate(
             [rolled[..., g * xp : g * xp + xwin] for g in range(pack)], axis=-1
@@ -814,8 +826,8 @@ def sample_patches_rotated_slab(
     as pad_gstack_slab layout). xwin (64 or 32) bounds the x extent a
     row may reach (rbox_max_scale of min(box, xwin)); 32 packs 4 y rows
     per lane group and roughly halves the kernel's per-row cost vs 64."""
-    gs_p, (zd, yd, xd), _ = _slab_input(gstack, logical_dims)
-    bz, by_dma = box, box + 8
+    gs_p, (zd, yd, xd), _, apron = _slab_input(gstack, logical_dims)
+    bz, by_dma = box, box + apron
     assert xwin in (32, 64) and by_dma % (128 // xwin) == 0, (box, xwin)
     xp = gs_p.shape[-1]
     r = centers.shape[0]
@@ -831,14 +843,15 @@ def sample_patches_rotated_slab(
     # _slab_input above unless the caller passed pad_gstack_slab layout
     z0 = jnp.clip(jnp.floor(centers[:, 2]).astype(jnp.int32) - bz // 2, 0, zd - bz)
     y0 = jnp.clip(jnp.floor(centers[:, 1]).astype(jnp.int32) - box // 2, 0, yd - box)
-    # provably 8-aligned slab origin: rounding down costs <= 7 rows, the
-    # +8 apron keeps [y0, y0+box) covered; reads never pass yd + 8
-    y8 = y0 // 8
+    # provably apron-aligned slab origin: rounding down costs <= apron-1
+    # rows, the +apron apron keeps [y0, y0+box) covered; reads never
+    # pass yd + apron
+    ya = y0 // apron
     x0 = jnp.clip(
         jnp.floor(centers[:, 0]).astype(jnp.int32) - xwin // 2, 0, xd - xwin
     )
-    y_hi = jnp.minimum((yd - 2) - y8 * 8, by_dma - 2)
-    offs = jnp.stack([lvl, z0, y8, x0, y_hi], axis=0).astype(jnp.int32)
+    y_hi = jnp.minimum((yd - 2) - ya * apron, by_dma - 2)
+    offs = jnp.stack([lvl, z0, ya, x0, y_hi], axis=0).astype(jnp.int32)
     cnt = (
         jnp.full((1,), r, jnp.int32)
         if count is None
@@ -855,7 +868,7 @@ def sample_patches_rotated_slab(
         )
 
     lx_l = local(0, x0)
-    ly_l = local(1, y8 * 8)
+    ly_l = local(1, ya * apron)
     lz_l = local(2, z0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -869,12 +882,12 @@ def sample_patches_rotated_slab(
         ],
         out_specs=pl.BlockSpec((1, n_vc, _SLAB_VCHUNK), lambda i, o, c: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, bz, by_dma, xp), jnp.float32),  # two slab buffers
+            pltpu.VMEM((2, bz, by_dma, xp), gs_p.dtype),  # two slab buffers
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     vals = pl.pallas_call(
-        functools.partial(_rot_slab_kernel, xwin),
+        functools.partial(_rot_slab_kernel, xwin, apron),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, n_vc, _SLAB_VCHUNK), jnp.float32),
         interpret=interpret,

@@ -44,6 +44,15 @@ _FORCE_LEGACY_CANDIDATES = False
 import os as _os_mod
 
 _PREPAD = bool(_os_mod.environ.get("SIFT3D_PREPAD"))
+# OPT-IN experiment: store the Gaussian stack bf16 in HBM so the slab
+# samplers' per-row DMA (their dominant cost: [box, box+apron, Xp] per
+# feature row) moves half the bytes. The cast fuses into _phase1_program
+# (halving the gstack write too). Numerics: the rotated samplers already
+# round their box to bf16 in-kernel, so 2c descriptors are unchanged;
+# the identity sampler's f32 patches (2a eig + 2b orientation input)
+# become bf16-rounded at source (~2^-9 relative) — which is why this is
+# not the default (the round-4/5 parity artifacts ride on f32 sources).
+_BF16_GSTACK = bool(_os_mod.environ.get("SIFT3D_BF16_GSTACK"))
 
 
 def _pad_to(arr: np.ndarray, n: int, fill=0):
@@ -137,6 +146,8 @@ def _phase1_program(stack, cfg, n_oct: int, sizes, initial_image_scale: float,
     counts = []
     for octave in range(n_oct):
         gstack, dogs, mask, next_base = pyramid.octave_core(base, cfg)
+        if jax.default_backend() == "tpu" and _BF16_GSTACK and not _PREPAD:
+            gstack = gstack.astype(jnp.bfloat16)
         if jax.default_backend() == "tpu" and _PREPAD:
             # OPT-IN (measured NEGATIVE on the relay v5e, kept for other
             # hardware): materialize the stack once in the slab-DMA layout

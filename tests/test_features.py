@@ -435,6 +435,74 @@ def test_slab_rotated_sampler_tiny_bucket(rng):
     assert np.abs(ref - got).max() < 2e-2 * scale
 
 
+def test_slab_samplers_bf16_gstack(rng):
+    """bf16 Gaussian-stack storage (SIFT3D_BF16_GSTACK lever): the slab
+    samplers take a 16-row y apron (Mosaic bf16 sublane tiling) and
+    upcast in VMEM. Identity must match the boxed sampler run on the
+    same bf16-rounded values at f32 roundoff; rotated must match its
+    own f32-source output exactly (the kernel already rounds its box to
+    bf16, so moving the rounding to HBM storage changes nothing)."""
+    from sift3d.kernels.patch import (
+        sample_patches_identity_boxed,
+        sample_patches_identity_slab,
+        sample_patches_rotated_slab,
+    )
+
+    L, Z, Y, X = 2, 64, 72, 80
+    g32 = jnp.asarray(
+        rng.standard_normal((L, Z, Y, X)).astype(np.float32) * 50 + 150
+    )
+    g16 = g32.astype(jnp.bfloat16)
+    R = 16
+    lvl = jnp.asarray(rng.integers(0, L, R).astype(np.int32))
+    centers = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(3, X - 3, R),
+                rng.uniform(3, Y - 3, R),
+                rng.uniform(3, Z - 3, R),
+            ],
+            axis=1,
+        ).astype(np.float32)
+    )
+    scales = jnp.asarray(rng.uniform(3.2, 6.4, R).astype(np.float32))
+
+    ref_id = np.asarray(
+        sample_patches_identity_boxed(
+            g16.astype(jnp.float32), lvl, centers, scales
+        )
+    )
+    got_id = np.asarray(
+        sample_patches_identity_slab(g16, lvl, centers, scales, interpret=True)
+    )
+    np.testing.assert_allclose(got_id, ref_id, rtol=1e-4, atol=1e-3)
+
+    q = rng.standard_normal((R, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    w, xq, yq, zq = q.T
+    oris = jnp.asarray(
+        np.stack(
+            [
+                1 - 2 * (yq * yq + zq * zq), 2 * (xq * yq - w * zq), 2 * (xq * zq + w * yq),
+                2 * (xq * yq + w * zq), 1 - 2 * (xq * xq + zq * zq), 2 * (yq * zq - w * xq),
+                2 * (xq * zq - w * yq), 2 * (yq * zq + w * xq), 1 - 2 * (xq * xq + yq * yq),
+            ],
+            axis=1,
+        ).reshape(R, 3, 3).astype(np.float32)
+    )
+    rot32 = np.asarray(
+        sample_patches_rotated_slab(
+            g32, lvl, centers, scales, oris, box=48, interpret=True
+        )
+    )
+    rot16 = np.asarray(
+        sample_patches_rotated_slab(
+            g16, lvl, centers, scales, oris, box=48, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(rot16, rot32)
+
+
 def test_slab_samplers_prepadded_input_match(rng):
     """pad_gstack_slab + logical_dims must reproduce the internally-padded
     samplers bit-for-bit (identity and rotated, interpret mode)."""
