@@ -44,15 +44,24 @@ _FORCE_LEGACY_CANDIDATES = False
 import os as _os_mod
 
 _PREPAD = bool(_os_mod.environ.get("SIFT3D_PREPAD"))
-# OPT-IN experiment: store the Gaussian stack bf16 in HBM so the slab
-# samplers' per-row DMA (their dominant cost: [box, box+apron, Xp] per
-# feature row) moves half the bytes. The cast fuses into _phase1_program
-# (halving the gstack write too). Numerics: the rotated samplers already
-# round their box to bf16 in-kernel, so 2c descriptors are unchanged;
-# the identity sampler's f32 patches (2a eig + 2b orientation input)
-# become bf16-rounded at source (~2^-9 relative) — which is why this is
-# not the default (the round-4/5 parity artifacts ride on f32 sources).
-_BF16_GSTACK = bool(_os_mod.environ.get("SIFT3D_BF16_GSTACK"))
+# bf16 Gaussian-stack storage: the slab samplers' per-row DMA (their
+# dominant cost: [box, box+apron, Xp] per feature row) moves half the
+# bytes, and in streams mode the halved HBM footprint relieves
+# bandwidth contention between overlapped streams (paired ABBA: ~+6%
+# end-to-end at 12/3 even though forced-sync phase times barely move —
+# BF16AB_r05.json). Modes:
+#   SIFT3D_BF16_GSTACK=2c  (split): phase 1 emits a bf16 COPY that only
+#       the phase-2c rotated/descriptor samplers read; 2a/2b identity
+#       patches keep their exact-f32 source. The rotated kernels round
+#       their box to bf16 in-kernel anyway, so 2c output is BIT-
+#       IDENTICAL and keypoints/orientations stay parity-exact. The f32
+#       stack is dropped right after 2a dispatch, so 2b/2c-phase HBM
+#       residency actually shrinks vs f32-only.
+#   SIFT3D_BF16_GSTACK=1   (full): the stack itself is stored bf16;
+#       fastest, but identity patches (2a eig + 2b orientation input)
+#       become bf16-rounded at source (~2^-9) which can tie-flip
+#       borderline keypoints — kept opt-in for that reason.
+_BF16_GSTACK = _os_mod.environ.get("SIFT3D_BF16_GSTACK", "")
 
 
 def _pad_to(arr: np.ndarray, n: int, fill=0):
@@ -146,8 +155,12 @@ def _phase1_program(stack, cfg, n_oct: int, sizes, initial_image_scale: float,
     counts = []
     for octave in range(n_oct):
         gstack, dogs, mask, next_base = pyramid.octave_core(base, cfg)
+        gstack16 = None
         if jax.default_backend() == "tpu" and _BF16_GSTACK and not _PREPAD:
-            gstack = gstack.astype(jnp.bfloat16)
+            if _BF16_GSTACK == "2c":
+                gstack16 = gstack.astype(jnp.bfloat16)
+            else:
+                gstack = gstack.astype(jnp.bfloat16)
         if jax.default_backend() == "tpu" and _PREPAD:
             # OPT-IN (measured NEGATIVE on the relay v5e, kept for other
             # hardware): materialize the stack once in the slab-DMA layout
@@ -161,7 +174,10 @@ def _phase1_program(stack, cfg, n_oct: int, sizes, initial_image_scale: float,
         gidx, blocks, gc, cc = jax.vmap(
             lambda m, s=sizes[octave]: _compact_mask_one(m, s)
         )(mask)
-        outs.append(dict(gstack=gstack, dogs=dogs, mask=mask, gidx=gidx, blocks=blocks))
+        out = dict(gstack=gstack, dogs=dogs, mask=mask, gidx=gidx, blocks=blocks)
+        if gstack16 is not None:
+            out["gstack16"] = gstack16
+        outs.append(out)
         counts.append(jnp.stack([gc, cc], axis=-1))
         base = next_base
     return outs, jnp.stack(counts)  # [n_oct, B, 2] (group, candidate)
@@ -778,11 +794,19 @@ def _extract_gen(
     # phase 2a is dispatched (2b/2c touch only the Gaussian stacks): drop
     # the references so ~45% of the batch's HBM footprint frees early —
     # this is what lets extract_features_stream keep two batches in flight
-    gstacks = tuple(res["gstack"] for (_, _, res, _) in octave_results)
+    # split bf16 mode: 2b/2c read the bf16 copy and the exact-f32 stack
+    # frees with the rest of the phase-1 buffers (2c rotated kernels
+    # round to bf16 in-kernel, so their output is bit-identical)
+    gstacks = tuple(
+        res["gstack16"] if "gstack16" in res else res["gstack"]
+        for (_, _, res, _) in octave_results
+    )
     del stacks
     for (_, _, res, _) in octave_results:
         for key in ("dogs", "mask", "gidx", "blocks"):
             res.pop(key, None)
+        if "gstack16" in res:
+            res.pop("gstack", None)
 
     # phase 2b: dispatched immediately with NO host sync between 2a and
     # 2b — every chunk runs at its phase-2a capacity (non-survivor rows
